@@ -1,0 +1,93 @@
+"""Top-level alignment API: request -> engine dispatch -> response.
+
+Equivalent of the reference's engine entry points
+(reference: alignSequenceCPU.cpp:287-333, alignSequenceGPU.cu:463-653):
+``Device.CPU`` runs the native C++ oracle; ``Device.TPU`` runs the
+JAX/XLA row-scan fill on the accelerator followed by the native host
+traceback (the reference likewise tracebacks on host).  Both paths
+produce byte-identical alignments.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import TextIO
+
+import numpy as np
+
+from . import constants
+from .constants import AlignmentType, Device
+from .types import Request, Response
+
+
+def _indices_to_letters(indices: np.ndarray, alphabet: tuple[str, ...]) -> str:
+    table = np.frombuffer(
+        "".join(alphabet).encode("latin-1"), dtype=np.uint8
+    )
+    return table[indices].tobytes().decode("latin-1")
+
+
+def _algo_code(alignment_type: AlignmentType) -> int:
+    return 0 if alignment_type is AlignmentType.GLOBAL else 1
+
+
+def align_cpu(request: Request, response: Response,
+              err: TextIO = sys.stderr) -> int:
+    """Native oracle engine (reference CPU-path equivalent)."""
+    from .native import bindings
+
+    try:
+        text_idx, pat_idx, start_t, start_p, score = bindings.oracle_align(
+            _algo_code(request.alignment_type),
+            request.text,
+            request.pattern,
+            request.score_matrix,
+            request.alphabet_size,
+            request.gap_penalty,
+        )
+    except MemoryError:
+        err.write(constants.MEM_ERROR)
+        return 1
+    response.aligned_text = _indices_to_letters(text_idx, request.alphabet)
+    response.aligned_pattern = _indices_to_letters(pat_idx, request.alphabet)
+    response.start_in_aligned_text = start_t
+    response.start_in_aligned_pattern = start_p
+    response.score = score
+    return 0
+
+
+def align_tpu(request: Request, response: Response,
+              err: TextIO = sys.stderr) -> int:
+    """Accelerator engine: device fill (row-scan), host traceback."""
+    from .models import aligner_for
+
+    try:
+        model = aligner_for(request.alignment_type)
+        result = model.align(
+            request.text,
+            request.pattern,
+            request.score_matrix,
+            request.alphabet_size,
+            request.gap_penalty,
+        )
+    except MemoryError:
+        err.write(constants.MEM_ERROR)
+        return 1
+    response.aligned_text = _indices_to_letters(
+        result.aligned_text, request.alphabet
+    )
+    response.aligned_pattern = _indices_to_letters(
+        result.aligned_pattern, request.alphabet
+    )
+    response.start_in_aligned_text = result.start_in_aligned_text
+    response.start_in_aligned_pattern = result.start_in_aligned_pattern
+    response.score = result.score
+    return 0
+
+
+def align(request: Request, response: Response,
+          err: TextIO = sys.stderr) -> int:
+    """Runtime dispatch on the request's device (mainDriver.cu:18-21)."""
+    if request.device_type is Device.CPU:
+        return align_cpu(request, response, err=err)
+    return align_tpu(request, response, err=err)

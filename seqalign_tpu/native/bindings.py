@@ -1,0 +1,169 @@
+"""ctypes bindings for the native oracle library.
+
+Exposes the C-ABI entry points of oracle.cpp as numpy-friendly Python
+functions.  All sequence inputs are int8 alphabet-index arrays; aligned
+outputs come back as uint8 index arrays (gap == alphabet_size).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Tuple
+
+import numpy as np
+
+from .build import ensure_built
+
+_lib = None
+
+
+def _library() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(ensure_built())
+        i8p = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        pi64 = ctypes.POINTER(ctypes.c_int64)
+        pi32 = ctypes.POINTER(ctypes.c_int32)
+
+        lib.sa_align.restype = i32
+        lib.sa_align.argtypes = [
+            i32, i8p, i64, i8p, i64, i32p, i32, i32,
+            u8p, u8p, pi64, pi64, pi64, pi32,
+        ]
+        lib.sa_fill.restype = i32
+        lib.sa_fill.argtypes = [
+            i32, i8p, i64, i8p, i64, i32p, i32, i32, u8p, pi32, pi64,
+        ]
+        lib.sa_traceback_nw.restype = None
+        lib.sa_traceback_nw.argtypes = [
+            u8p, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+        ]
+        lib.sa_traceback_sw.restype = None
+        lib.sa_traceback_sw.argtypes = [
+            u8p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _as_i8(seq: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(seq, dtype=np.int8)
+
+
+def _as_matrix(score_matrix: np.ndarray, k: int) -> np.ndarray:
+    m = np.ascontiguousarray(score_matrix, dtype=np.int32).reshape(-1)
+    return m[: k * k]
+
+
+def oracle_align(
+    algo: int,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    score_matrix: np.ndarray,
+    alphabet_size: int,
+    gap_penalty: int,
+) -> Tuple[np.ndarray, np.ndarray, int, int, int]:
+    """Full native alignment.
+
+    Returns (aligned_text_idx, aligned_pattern_idx, start_text,
+    start_pattern, score).  ``algo``: 0 global, 1 local.
+    """
+    lib = _library()
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    n, m = text.shape[0], pattern.shape[0]
+    out_text = np.empty(n + m + 1, dtype=np.uint8)
+    out_pattern = np.empty(n + m + 1, dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    out_st = ctypes.c_int64()
+    out_sp = ctypes.c_int64()
+    out_score = ctypes.c_int32()
+    rc = lib.sa_align(
+        algo, text, n, pattern, m,
+        _as_matrix(score_matrix, alphabet_size), alphabet_size, gap_penalty,
+        out_text, out_pattern,
+        ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        ctypes.byref(out_score),
+    )
+    if rc != 0:
+        raise MemoryError("native oracle: allocation failed")
+    k = out_len.value
+    return (
+        out_text[:k].copy(),
+        out_pattern[:k].copy(),
+        out_st.value,
+        out_sp.value,
+        out_score.value,
+    )
+
+
+def oracle_fill(
+    algo: int,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    score_matrix: np.ndarray,
+    alphabet_size: int,
+    gap_penalty: int,
+) -> Tuple[np.ndarray, int, int]:
+    """DP fill only. Returns (direction matrix (m+1, n+1) uint8, score, best_idx)."""
+    lib = _library()
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    n, m = text.shape[0], pattern.shape[0]
+    dirs = np.empty((m + 1, n + 1), dtype=np.uint8)
+    out_score = ctypes.c_int32()
+    out_best = ctypes.c_int64()
+    rc = lib.sa_fill(
+        algo, text, n, pattern, m,
+        _as_matrix(score_matrix, alphabet_size), alphabet_size, gap_penalty,
+        dirs.reshape(-1), ctypes.byref(out_score), ctypes.byref(out_best),
+    )
+    if rc != 0:
+        raise MemoryError("native oracle: allocation failed")
+    return dirs, out_score.value, out_best.value
+
+
+def traceback(
+    algo: int,
+    dirs: np.ndarray,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    alphabet_size: int,
+    best_idx: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Native traceback over a full (rows, cols) uint8 direction matrix.
+
+    Used both by the oracle and by the TPU engine (which produces the
+    same direction encoding on device).
+    """
+    lib = _library()
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint8)
+    rows, cols = dirs.shape
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    out_text = np.empty(rows + cols, dtype=np.uint8)
+    out_pattern = np.empty(rows + cols, dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    out_st = ctypes.c_int64()
+    out_sp = ctypes.c_int64()
+    flat = dirs.reshape(-1)
+    if algo == 0:
+        # Start at cell (m, n); handles column-padded matrices (cols > n+1).
+        start = pattern.shape[0] * cols + text.shape[0]
+        lib.sa_traceback_nw(
+            flat, start, cols, text, pattern, alphabet_size,
+            out_text, out_pattern,
+            ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        )
+    else:
+        lib.sa_traceback_sw(
+            flat, best_idx, rows, cols, text, pattern, alphabet_size,
+            out_text, out_pattern,
+            ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        )
+    k = out_len.value
+    return out_text[:k].copy(), out_pattern[:k].copy(), out_st.value, out_sp.value

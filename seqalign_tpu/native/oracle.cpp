@@ -1,0 +1,230 @@
+// Native reference oracle for the TPU alignment engine.
+//
+// Implements the exact observable semantics of the reference CPU engine
+// (reference: alignSequenceCPU.cpp) as a small C-ABI shared library:
+//   * Needleman-Wunsch (global) and Smith-Waterman (local) DP fill with a
+//     linear gap penalty and an integer substitution matrix,
+//   * the reference's tie policy (diagonal wins only when strictly
+//     greater than both gap moves; left beats top on gap ties,
+//     alignSequenceCPU.cpp:265-269),
+//   * traceback semantics incl. the NW first-row/first-column direction
+//     overrides (alignSequenceCPU.cpp:77-81) and the SW early-exit on
+//     reaching the first row/column (alignSequenceCPU.cpp:44-46).
+//
+// The implementation is a fresh design (single templated fill, C ABI,
+// caller-owned buffers, no globals); only the behavior is shared.
+//
+// Sequences are passed as int8 alphabet indices. Aligned outputs are
+// emitted as uint8 alphabet indices where index==alphabet_size denotes
+// the gap character.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <utility>
+
+namespace {
+
+enum Dir : uint8_t { kLeft = 0, kDiag = 1, kTop = 2, kStop = 3 };
+
+struct Best {
+  int32_t score;
+  uint8_t dir;
+};
+
+// Reference tie policy: LEFT >= TOP among gap moves; DIAG only if strictly
+// greater than both.
+inline Best pick(int32_t from_left, int32_t from_top, int32_t from_diag) {
+  const int32_t gap_best = from_left >= from_top ? from_left : from_top;
+  if (from_diag > gap_best) return {from_diag, kDiag};
+  return {gap_best, from_left >= from_top ? static_cast<uint8_t>(kLeft)
+                                          : static_cast<uint8_t>(kTop)};
+}
+
+// Row-sweep DP fill writing the full (m+1)x(n+1) direction matrix.
+// For kLocal, returns {max_score, flat index of its first row-major
+// occurrence}; for global, returns {bottom-right score, 0}.
+template <bool kLocal>
+std::pair<int32_t, int64_t> fill(const int8_t* text, int64_t n,
+                                 const int8_t* pattern, int64_t m,
+                                 const int32_t* score_matrix, int32_t k,
+                                 int32_t gap, uint8_t* dirs, int32_t* row_a,
+                                 int32_t* row_b) {
+  const int64_t cols = n + 1;
+  int32_t* prev = row_a;
+  int32_t* curr = row_b;
+
+  for (int64_t j = 0; j < cols; ++j) {
+    curr[j] = kLocal ? 0 : static_cast<int32_t>(-gap * j);
+    dirs[j] = kLocal ? kStop : kLeft;
+  }
+
+  int32_t max_score = 0;
+  int64_t max_idx = 0;
+  for (int64_t i = 1; i <= m; ++i) {
+    std::swap(prev, curr);
+    uint8_t* dir_row = dirs + i * cols;
+    curr[0] = kLocal ? 0 : static_cast<int32_t>(-gap * i);
+    dir_row[0] = kLocal ? kStop : kTop;
+    const int32_t* sub_row = score_matrix + static_cast<int64_t>(pattern[i - 1]) * k;
+    for (int64_t j = 1; j < cols; ++j) {
+      const Best b = pick(curr[j - 1] - gap, prev[j] - gap,
+                          prev[j - 1] + sub_row[text[j - 1]]);
+      if (kLocal) {
+        dir_row[j] = b.score > 0 ? b.dir : static_cast<uint8_t>(kStop);
+        curr[j] = b.score > 0 ? b.score : 0;
+        if (curr[j] > max_score) {
+          max_score = curr[j];
+          max_idx = i * cols + j;
+        }
+      } else {
+        dir_row[j] = b.dir;
+        curr[j] = b.score;
+      }
+    }
+  }
+  if (kLocal) return {max_score, max_idx};
+  return {curr[n], 0};
+}
+
+inline void emit(const int8_t* text, const int8_t* pattern, int32_t k,
+                 uint8_t dir, int64_t ti, int64_t pi, uint8_t* out_text,
+                 uint8_t* out_pattern, int64_t pos) {
+  const bool take_text = dir == kDiag || dir == kLeft;
+  const bool take_pattern = dir == kDiag || dir == kTop;
+  out_text[pos] = take_text ? static_cast<uint8_t>(text[ti])
+                            : static_cast<uint8_t>(k);
+  out_pattern[pos] = take_pattern ? static_cast<uint8_t>(pattern[pi])
+                                  : static_cast<uint8_t>(k);
+}
+
+inline int64_t step_back(int64_t curr, uint8_t dir, int64_t cols) {
+  if (dir == kLeft) return curr - 1;
+  if (dir == kDiag) return curr - cols - 1;
+  if (dir == kTop) return curr - cols;
+  return curr;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Traceback of a global alignment from a full direction matrix.
+// Walks from `start` (the flat index of cell (m, n) — which may differ
+// from rows*cols-1 when the matrix is column-padded) to cell 0; the
+// first column forces TOP and the first row forces LEFT regardless of
+// stored directions.
+void sa_traceback_nw(const uint8_t* dirs, int64_t start, int64_t cols,
+                     const int8_t* text, const int8_t* pattern, int32_t k,
+                     uint8_t* out_text, uint8_t* out_pattern,
+                     int64_t* out_len, int64_t* out_start_text,
+                     int64_t* out_start_pattern) {
+  int64_t curr = start;
+  int64_t ti = (start % cols) - 1;  // == text length - 1
+  int64_t pi = (start / cols) - 1;
+  int64_t len = 0;
+  while (curr > 0) {
+    uint8_t dir = dirs[curr];
+    if (curr % cols == 0) {
+      dir = kTop;
+    } else if (curr < cols) {
+      dir = kLeft;
+    }
+    emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, len++);
+    if (dir == kDiag || dir == kLeft) ti = ti > 0 ? ti - 1 : 0;
+    if (dir == kDiag || dir == kTop) pi = pi > 0 ? pi - 1 : 0;
+    curr = step_back(curr, dir, cols);
+  }
+  *out_len = len;
+  *out_start_text = ti;
+  *out_start_pattern = pi;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+}
+
+// Traceback of a local alignment starting from the best cell's flat
+// index. Stops at a STOP direction or on reaching the first row/column
+// (without updating the sequence cursors on that final hop, matching the
+// reference's loop structure).
+void sa_traceback_sw(const uint8_t* dirs, int64_t start, int64_t rows,
+                     int64_t cols, const int8_t* text, const int8_t* pattern,
+                     int32_t k, uint8_t* out_text, uint8_t* out_pattern,
+                     int64_t* out_len, int64_t* out_start_text,
+                     int64_t* out_start_pattern) {
+  int64_t ti = (start % cols) - 1;
+  int64_t pi = (start / cols) - 1;
+  int64_t curr = start;
+  int64_t len = 0;
+  while (dirs[curr] != kStop) {
+    const uint8_t dir = dirs[curr];
+    emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, len++);
+    curr = step_back(curr, dir, cols);
+    if (curr % cols == 0 || curr < cols) break;
+    if (dir == kDiag || dir == kLeft) ti = ti > 0 ? ti - 1 : 0;
+    if (dir == kDiag || dir == kTop) pi = pi > 0 ? pi - 1 : 0;
+  }
+  *out_len = len;
+  *out_start_text = ti;
+  *out_start_pattern = pi;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+}
+
+// DP fill only: writes the (m+1)x(n+1) uint8 direction matrix into
+// `dirs`, the optimal score into `out_score`, and (local only) the flat
+// index of the best cell into `out_best_idx`.
+// algo: 0 = global/NW, 1 = local/SW. Returns 0 on success, 1 on OOM.
+int32_t sa_fill(int32_t algo, const int8_t* text, int64_t n,
+                const int8_t* pattern, int64_t m, const int32_t* score_matrix,
+                int32_t k, int32_t gap, uint8_t* dirs, int32_t* out_score,
+                int64_t* out_best_idx) {
+  const int64_t cols = n + 1;
+  int32_t* rows_buf =
+      static_cast<int32_t*>(std::malloc(sizeof(int32_t) * 2 * cols));
+  if (rows_buf == nullptr) return 1;
+  std::pair<int32_t, int64_t> result;
+  if (algo == 0) {
+    result = fill<false>(text, n, pattern, m, score_matrix, k, gap, dirs,
+                         rows_buf, rows_buf + cols);
+  } else {
+    result = fill<true>(text, n, pattern, m, score_matrix, k, gap, dirs,
+                        rows_buf, rows_buf + cols);
+  }
+  std::free(rows_buf);
+  *out_score = result.first;
+  *out_best_idx = result.second;
+  return 0;
+}
+
+// Full oracle alignment: fill + traceback in one call.
+// Output buffers must hold at least n+m+1 bytes each.
+// Returns 0 on success, 1 on OOM.
+int32_t sa_align(int32_t algo, const int8_t* text, int64_t n,
+                 const int8_t* pattern, int64_t m,
+                 const int32_t* score_matrix, int32_t k, int32_t gap,
+                 uint8_t* out_text, uint8_t* out_pattern, int64_t* out_len,
+                 int64_t* out_start_text, int64_t* out_start_pattern,
+                 int32_t* out_score) {
+  const int64_t rows = m + 1;
+  const int64_t cols = n + 1;
+  uint8_t* dirs = static_cast<uint8_t*>(std::malloc(rows * cols));
+  if (dirs == nullptr) return 1;
+
+  int64_t best_idx = 0;
+  if (sa_fill(algo, text, n, pattern, m, score_matrix, k, gap, dirs,
+              out_score, &best_idx) != 0) {
+    std::free(dirs);
+    return 1;
+  }
+  if (algo == 0) {
+    sa_traceback_nw(dirs, rows * cols - 1, cols, text, pattern, k, out_text,
+                    out_pattern, out_len, out_start_text, out_start_pattern);
+  } else {
+    sa_traceback_sw(dirs, best_idx, rows, cols, text, pattern, k, out_text,
+                    out_pattern, out_len, out_start_text, out_start_pattern);
+  }
+  std::free(dirs);
+  return 0;
+}
+
+}  // extern "C"
