@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched Smith-Waterman fill throughput (GCUPS).
+
+Prints ONE JSON line:
+  {"metric": "sw_batch_fill", "value": <GCUPS>, "unit": "GCUPS",
+   "vs_baseline": <value / 14.354>}
+
+Baseline: the reference's best single-chip fill throughput, 14,354 MCUPS
+(Smith-Waterman 16384x32768 on a V100-SXM2,
+reference tests/benchmarkResults/benchmark_throughput_tesla.out:64-66).
+
+Timing protocol: the fill is repeated inside one jitted fori_loop with a
+data dependency between iterations, so the measurement excludes the
+host<->device round-trip latency and compile time (the reference's
+fill-only timing likewise excludes setup; it includes the D2H of the
+direction matrix, which our engine does not need — traceback consumes
+direction bits from device memory).
+"""
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from seqalign_tpu.ops.batch import batch_score
+
+    rng = np.random.default_rng(42)
+
+    # 0.5 Gcell workload: 2048 DNA pairs of 512x512.
+    b, n, m = 2048, 512, 512
+    reps = 4
+    sm = jnp.asarray(np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32))
+    texts = jnp.asarray(rng.integers(0, 4, (b, n)), jnp.int32)
+    patterns = jnp.asarray(rng.integers(0, 4, (b, m)), jnp.int32)
+    ns = jnp.full((b,), n, jnp.int32)
+    ms = jnp.full((b,), m, jnp.int32)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def repeat(texts, patterns, ns, ms, sm, k):
+        # The gap perturbation is 0 at runtime (SW scores are >= 0) but XLA
+        # cannot prove it, so iterations stay serialized and un-hoistable.
+        def body(_, acc):
+            s = batch_score(
+                texts, patterns, ns, ms, sm, 5 + jnp.minimum(acc, 0), local=True
+            )
+            return acc + s.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.asarray(0, jnp.int32))
+
+    # Warm both executables, then difference out the fixed dispatch cost.
+    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1))
+    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1 + reps))
+    t0 = time.time()
+    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1))
+    t_one = time.time() - t0
+    t0 = time.time()
+    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1 + reps))
+    t_many = time.time() - t0
+    per_batch = max((t_many - t_one) / reps, 1e-9)
+
+    cells = b * n * m
+    gcups = cells / per_batch / 1e9
+    pairs_per_s = b / per_batch
+    print(
+        f"[bench] {b} pairs {n}x{m}: {per_batch * 1e3:.1f} ms/batch, "
+        f"{pairs_per_s:,.0f} pairs/s, {gcups:.2f} GCUPS",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sw_batch_fill",
+                "value": round(gcups, 3),
+                "unit": "GCUPS",
+                "vs_baseline": round(gcups / 14.354, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

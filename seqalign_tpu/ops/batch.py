@@ -1,0 +1,47 @@
+"""Batched many-pair alignment (score-only fills).
+
+The reference only *benchmarks* batches by looping requests sequentially
+(reference: tests/benchmarks.cu:271-332); here batching is a first-class
+capability: pairs are padded into (N_pad, M_pad) buckets and vmapped, so
+thousands of pairs fill concurrently per chip.  Query profiles are built
+on device inside the vmapped body (one gather per pair).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .scan_engine import PAD_SCORE, nw_score, sw_score
+
+_INT = jnp.int32
+
+
+@functools.partial(jax.jit, static_argnames=("local",))
+def batch_score(texts, patterns, ns, ms, score_matrix, gap, local: bool = False):
+    """Optimal scores for a padded batch of pairs.
+
+    Args:
+      texts: (B, N_pad) int32 alphabet indices (padding value arbitrary).
+      patterns: (B, M_pad) int32 alphabet indices.
+      ns, ms: (B,) real lengths.
+      score_matrix: (K, K) int32, shared across the batch.
+      gap: scalar gap penalty.
+      local: Smith-Waterman when True, else Needleman-Wunsch.
+
+    Returns (B,) int32 scores.
+    """
+    n_pad = texts.shape[1]
+    col = jnp.arange(n_pad, dtype=_INT)
+    sm = score_matrix.astype(_INT)
+
+    def one(text, pattern, n, m):
+        profile = sm[:, text]
+        profile = jnp.where(col < n, profile, PAD_SCORE)
+        if local:
+            return sw_score(profile, pattern, gap, n, m)
+        return nw_score(profile, pattern, gap, n, m)
+
+    return jax.vmap(one)(texts, patterns, ns.astype(_INT), ms.astype(_INT))

@@ -1,0 +1,130 @@
+"""Data-parallel batched alignment over a device mesh.
+
+Shards a padded pair batch over the mesh's ``data`` axis with
+``jax.shard_map`` (score matrix replicated), the TPU-native equivalent of
+scaling alignment throughput across workers.  Each device runs the
+single-chip vmapped row-scan fill on its local shard; results gather
+back along the same sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import scan_engine
+from ..ops.batch import batch_score
+from . import mesh as mesh_lib
+
+
+def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
+                        gap, local: bool = False):
+    """Scores for a batch sharded along the mesh ``data`` axis.
+
+    The batch dimension must be divisible by the mesh size (use
+    :func:`pad_batch` first).
+    """
+    spec = P(mesh_lib.DATA_AXIS)
+    rep = P()
+
+    def local_shard(t, p, n, m, sm):
+        return batch_score(t, p, n, m, sm, gap, local=local)
+
+    # check_vma=False: the scan carry inits are device-invariant while the
+    # scanned inputs vary over 'data'; the values are correct either way.
+    fn = jax.shard_map(
+        local_shard,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, rep),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(texts, patterns, ns, ms, score_matrix)
+
+
+@dataclasses.dataclass
+class _Bucket:
+    indices: list
+    n_pad: int
+    m_pad: int
+
+
+class BatchAligner:
+    """Length-bucketed many-pair scorer.
+
+    Groups pairs into (padded text width, padded pattern rows) buckets,
+    pads each bucket to a device-divisible batch, and runs the sharded
+    score fill per bucket.  This is the capability the reference only
+    measured sequentially (tests/benchmarks.cu:271-332), made real.
+    """
+
+    def __init__(self, score_matrix: np.ndarray, alphabet_size: int,
+                 gap_penalty: int, local: bool = False,
+                 mesh: Optional[Mesh] = None):
+        self.score_matrix = jnp.asarray(
+            np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
+                : alphabet_size * alphabet_size
+            ].reshape(alphabet_size, alphabet_size)
+        )
+        self.gap_penalty = gap_penalty
+        self.local = local
+        self.mesh = mesh if mesh is not None else mesh_lib.make_data_mesh()
+
+    def _buckets(self, texts: Sequence[np.ndarray],
+                 patterns: Sequence[np.ndarray]) -> list[_Bucket]:
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (t, p) in enumerate(zip(texts, patterns)):
+            n_pad = scan_engine.padded_width(len(t)) - 1
+            m_pad = scan_engine.padded_rows(len(p))
+            groups.setdefault((n_pad, m_pad), []).append(i)
+        return [
+            _Bucket(indices=idx, n_pad=k[0], m_pad=k[1])
+            for k, idx in sorted(groups.items())
+        ]
+
+    def score(self, texts: Sequence[np.ndarray],
+              patterns: Sequence[np.ndarray]) -> np.ndarray:
+        """Scores for all pairs; order preserved. Pairs where the pattern
+        is longer than the text are swapped internally (the DP is
+        symmetric up to the same swap the CLI performs)."""
+        texts = [np.asarray(t, dtype=np.int32) for t in texts]
+        patterns = [np.asarray(p, dtype=np.int32) for p in patterns]
+        swapped = []
+        for i in range(len(texts)):
+            if texts[i].shape[0] < patterns[i].shape[0]:
+                texts[i], patterns[i] = patterns[i], texts[i]
+            swapped.append(None)
+
+        out = np.zeros(len(texts), dtype=np.int32)
+        num_dev = self.mesh.size
+        for bucket in self._buckets(texts, patterns):
+            b = len(bucket.indices)
+            b_pad = max(num_dev, ((b + num_dev - 1) // num_dev) * num_dev)
+            t_arr = np.zeros((b_pad, bucket.n_pad), dtype=np.int32)
+            p_arr = np.zeros((b_pad, bucket.m_pad), dtype=np.int32)
+            ns = np.zeros(b_pad, dtype=np.int32)
+            ms = np.zeros(b_pad, dtype=np.int32)
+            for row, i in enumerate(bucket.indices):
+                t, p = texts[i], patterns[i]
+                t_arr[row, : t.shape[0]] = t
+                p_arr[row, : p.shape[0]] = p
+                ns[row], ms[row] = t.shape[0], p.shape[0]
+            scores = sharded_batch_score(
+                self.mesh,
+                jnp.asarray(t_arr),
+                jnp.asarray(p_arr),
+                jnp.asarray(ns),
+                jnp.asarray(ms),
+                self.score_matrix,
+                self.gap_penalty,
+                local=self.local,
+            )
+            scores = np.asarray(jax.device_get(scores))
+            for row, i in enumerate(bucket.indices):
+                out[i] = scores[row]
+        return out

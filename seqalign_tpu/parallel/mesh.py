@@ -1,0 +1,43 @@
+"""Device-mesh helpers for multi-chip / multi-host execution.
+
+The reference is single-GPU (its SLURM scripts request 1 node / 1 GPU);
+its scaling mechanisms are CUDA streams + a device-global spin-lock
+protocol (reference: alignSequenceGPU.cu:14-40, 470-484).  The TPU-native
+scaling story is a ``jax.sharding.Mesh``: the pair batch is data-parallel
+sharded over the ``data`` axis (score matrices replicated) and XLA
+inserts the collectives over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return jax.make_mesh((len(devices),), (DATA_AXIS,), devices=devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize the jax.distributed runtime when launched multi-host
+    (controller coordinates via env configuration; no-op single-host)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

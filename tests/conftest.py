@@ -1,18 +1,22 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes; tests import seqalign_tpu
-only after this module loads.
+The container pre-imports jax (sitecustomize registers the TPU plugin),
+so plain env vars are too late; use jax.config to pin the CPU platform
+and XLA_FLAGS (read at first CPU-backend creation) for virtual devices.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

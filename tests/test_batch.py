@@ -1,0 +1,92 @@
+"""Batch engine + multi-device sharding tests (8 virtual CPU devices)."""
+
+import jax
+import numpy as np
+import pytest
+
+from seqalign_tpu import constants
+from seqalign_tpu.io import parse_score_matrix_file
+from seqalign_tpu.native import bindings
+from seqalign_tpu.ops import scan_engine
+from seqalign_tpu.ops.batch import batch_score
+from seqalign_tpu.parallel import mesh as mesh_lib
+from seqalign_tpu.parallel.batch import BatchAligner
+from seqalign_tpu.types import Request
+
+
+def _dna_matrix():
+    request = Request()
+    parse_score_matrix_file(
+        "scoreMatrices/dna/blast.txt", request.alphabet_size, request.score_matrix
+    )
+    return np.asarray(request.score_matrix[:4, :4], dtype=np.int32)
+
+
+def _random_pairs(rng, count, max_len=200):
+    texts, patterns = [], []
+    for _ in range(count):
+        n = int(rng.integers(1, max_len))
+        m = int(rng.integers(1, max_len))
+        n, m = max(n, m), min(n, m)
+        texts.append(rng.integers(0, 4, n).astype(np.int32))
+        patterns.append(rng.integers(0, 4, m).astype(np.int32))
+    return texts, patterns
+
+
+def _oracle_scores(texts, patterns, sm, gap, algo):
+    out = []
+    for t, p in zip(texts, patterns):
+        _, score, _ = bindings.oracle_fill(
+            algo, t.astype(np.int8), p.astype(np.int8), sm, 4, gap
+        )
+        out.append(score)
+    return np.array(out, dtype=np.int32)
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_batch_score_matches_oracle(local):
+    rng = np.random.default_rng(3)
+    sm = _dna_matrix()
+    texts, patterns = _random_pairs(rng, 12, max_len=120)
+    n_pad = max(scan_engine.padded_width(len(t)) - 1 for t in texts)
+    m_pad = max(scan_engine.padded_rows(len(p)) for p in patterns)
+    t_arr = np.zeros((12, n_pad), np.int32)
+    p_arr = np.zeros((12, m_pad), np.int32)
+    ns = np.array([len(t) for t in texts], np.int32)
+    ms = np.array([len(p) for p in patterns], np.int32)
+    for i, (t, p) in enumerate(zip(texts, patterns)):
+        t_arr[i, : len(t)] = t
+        p_arr[i, : len(p)] = p
+
+    got = np.asarray(
+        batch_score(t_arr, p_arr, ns, ms, sm, 5, local=local)
+    )
+    want = _oracle_scores(texts, patterns, sm, 5, 1 if local else 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_sharded_batch_aligner_matches_oracle(local):
+    rng = np.random.default_rng(11)
+    sm = _dna_matrix()
+    texts, patterns = _random_pairs(rng, 37, max_len=250)
+    aligner = BatchAligner(sm, 4, gap_penalty=5, local=local)
+    assert aligner.mesh.size == 8
+    got = aligner.score(texts, patterns)
+    want = _oracle_scores(texts, patterns, sm, 5, 1 if local else 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batch_aligner_swaps_shorter_text():
+    sm = _dna_matrix()
+    rng = np.random.default_rng(5)
+    text = rng.integers(0, 4, 50).astype(np.int32)
+    pattern = rng.integers(0, 4, 150).astype(np.int32)  # longer than text
+    aligner = BatchAligner(sm, 4, gap_penalty=5, local=False)
+    got = aligner.score([text], [pattern])
+    want = _oracle_scores([pattern], [text], sm, 5, 0)
+    np.testing.assert_array_equal(got, want)
