@@ -1,0 +1,43 @@
+"""Runtime engine configuration.
+
+One typed knob set replacing the reference's compile-time macros
+(BENCHMARK / MAX_THREADS_PER_BLOCK / MAX_CONCURRENT_KERNELS,
+alignSequenceGPU.cu:6-10).
+
+Engine selection for the accelerator path:
+  * "pallas" — the Pallas TPU kernels (ops/pallas_fill.py); default on a
+    TPU backend.
+  * "xla"    — the portable lax.scan engine (ops/scan_engine.py);
+    default on CPU backends (used by the test suite).
+Override with SEQALIGN_ENGINE=pallas|xla|pallas_interpret (the latter
+runs the Pallas kernels in interpreter mode — exact but slow; useful for
+kernel tests without TPU hardware).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def engine() -> str:
+    forced = os.environ.get("SEQALIGN_ENGINE", "").lower()
+    if forced in ("pallas", "xla", "pallas_interpret"):
+        return forced
+    import jax
+
+    return "pallas" if jax.default_backend() != "cpu" else "xla"
+
+
+def use_pallas() -> bool:
+    return engine().startswith("pallas")
+
+
+def pallas_interpret() -> bool:
+    return engine() == "pallas_interpret"
+
+
+# Direction-matrix HBM budget for the single-call fill path; longer pairs
+# go through the tiled streaming engine (ops/tiled.py).
+MAX_DIRS_BYTES = int(
+    os.environ.get("SEQALIGN_MAX_DIRS_BYTES", 4 * 1024**3)
+)

@@ -4,10 +4,13 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import scan_engine
+from .. import config
+from ..native import bindings
+from ..ops import pallas_fill, scan_engine
 
 
 @dataclasses.dataclass
@@ -22,34 +25,119 @@ class AlignmentResult:
 
 
 class PairAligner:
-    """Base: device DP fill + host traceback for one sequence pair."""
+    """Base: device DP fill + host traceback for one sequence pair.
+
+    Two interchangeable fill engines produce bit-identical direction
+    matrices: the Pallas kernel (packed 2-bit words) and the portable
+    lax.scan engine (byte directions).  Engine choice: config.engine().
+    """
 
     local: bool = False
 
-    def _prepare(self, text, pattern, score_matrix, alphabet_size):
-        """Build padded device inputs; returns (profile, pattern_dev, n, m)."""
-        n = int(np.asarray(text).shape[0])
-        m = int(np.asarray(pattern).shape[0])
-        width = scan_engine.padded_width(n)
-        m_pad = scan_engine.padded_rows(m)
-        sm = np.ascontiguousarray(
+    # -- shared preparation ------------------------------------------------
+
+    @staticmethod
+    def _score_matrix(score_matrix, alphabet_size: int) -> np.ndarray:
+        return np.ascontiguousarray(
             np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
                 : alphabet_size * alphabet_size
             ].reshape(alphabet_size, alphabet_size)
         )
+
+    # -- portable (lax.scan) engine -----------------------------------------
+
+    def _prepare_xla(self, text, pattern, score_matrix, alphabet_size):
+        n = int(np.asarray(text).shape[0])
+        m = int(np.asarray(pattern).shape[0])
+        width = scan_engine.padded_width(n)
+        m_pad = scan_engine.padded_rows(m)
+        sm = self._score_matrix(score_matrix, alphabet_size)
         profile = scan_engine.build_profile(
-            jnp.asarray(np.asarray(text, dtype=np.int32)),
-            jnp.asarray(sm),
-            width,
+            jnp.asarray(np.asarray(text, dtype=np.int32)), jnp.asarray(sm), width
         )
         pattern_dev = jnp.asarray(
             scan_engine.pad_pattern(np.asarray(pattern, dtype=np.int32), m_pad)
         )
         return profile, pattern_dev, n, m
 
+    # -- pallas engine -------------------------------------------------------
+
+    def _fill_pallas(self, text, pattern, score_matrix, alphabet_size,
+                     gap_penalty):
+        """Run the Pallas pair kernel; returns (words(np), score, bi, bj)."""
+        n = int(np.asarray(text).shape[0])
+        m = int(np.asarray(pattern).shape[0])
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        profile, p_cols = pallas_fill.build_pair_profile(
+            jnp.asarray(np.asarray(text, dtype=np.int32)),
+            jnp.asarray(sm),
+            alphabet_size,
+        )
+        m_pad = max(
+            pallas_fill.ROWS_PER_STEP,
+            ((m + pallas_fill.ROWS_PER_STEP - 1) // pallas_fill.ROWS_PER_STEP)
+            * pallas_fill.ROWS_PER_STEP,
+        )
+        dirs_bytes = (m_pad // pallas_fill.DIR_ROWS_PER_WORD) * p_cols * 4
+        if dirs_bytes > config.MAX_DIRS_BYTES:
+            raise MemoryError(
+                f"direction matrix {dirs_bytes>>20} MiB exceeds budget; "
+                "use the tiled long-sequence engine"
+            )
+        pat = np.zeros(m_pad, dtype=np.int32)
+        pat[:m] = np.asarray(pattern, dtype=np.int32)
+        dirs, score, bi, bj = pallas_fill.pair_fill_pallas(
+            profile,
+            jnp.asarray(pat),
+            gap_penalty,
+            n,
+            m,
+            local=self.local,
+            interpret=config.pallas_interpret(),
+        )
+        words = np.asarray(jax.device_get(dirs))
+        return words.reshape(words.shape[0], -1), int(score), int(bi), int(bj)
+
+    # -- public API ----------------------------------------------------------
+
     def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
+        if config.use_pallas():
+            return self._align_pallas(
+                text, pattern, score_matrix, alphabet_size, gap_penalty
+            )
+        return self._align_xla(
+            text, pattern, score_matrix, alphabet_size, gap_penalty
+        )
+
+    def _align_pallas(self, text, pattern, score_matrix, alphabet_size,
+                      gap_penalty):
+        words, score, bi, bj = self._fill_pallas(
+            text, pattern, score_matrix, alphabet_size, gap_penalty
+        )
+        aligned_text, aligned_pattern, start_t, start_p = (
+            bindings.traceback_packed(
+                1 if self.local else 0,
+                words,
+                text,
+                pattern,
+                alphabet_size,
+                best_i=bi,
+                best_j=bj,
+            )
+        )
+        return AlignmentResult(
+            aligned_text=aligned_text,
+            aligned_pattern=aligned_pattern,
+            start_in_aligned_text=start_t,
+            start_in_aligned_pattern=start_p,
+            score=score,
+        )
+
+    def _align_xla(self, text, pattern, score_matrix, alphabet_size,
+                   gap_penalty):
         raise NotImplementedError
 
-    def score(self, text, pattern, score_matrix, alphabet_size, gap_penalty) -> int:
+    def score(self, text, pattern, score_matrix, alphabet_size,
+              gap_penalty) -> int:
         """Score-only fill (no direction matrix, no traceback)."""
         raise NotImplementedError

@@ -14,8 +14,9 @@ class NeedlemanWunsch(PairAligner):
 
     local = False
 
-    def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
-        profile, pattern_dev, n, m = self._prepare(
+    def _align_xla(self, text, pattern, score_matrix, alphabet_size,
+                   gap_penalty):
+        profile, pattern_dev, n, m = self._prepare_xla(
             text, pattern, score_matrix, alphabet_size
         )
         dirs, score = scan_engine.nw_fill(
@@ -34,7 +35,7 @@ class NeedlemanWunsch(PairAligner):
         )
 
     def score(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
-        profile, pattern_dev, n, m = self._prepare(
+        profile, pattern_dev, n, m = self._prepare_xla(
             text, pattern, score_matrix, alphabet_size
         )
         _, score = scan_engine.nw_fill(

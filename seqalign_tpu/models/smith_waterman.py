@@ -8,14 +8,15 @@ from .base import AlignmentResult, PairAligner
 
 
 class SmithWaterman(PairAligner):
-    """Device row-scan fill (with on-device argmax of the best cell, the
+    """Device row-scan fill (with on-device tracking of the best cell, the
     analog of the reference's block max-reduce, alignSequenceGPU.cu:203-216)
     + host traceback from the best cell."""
 
     local = True
 
-    def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
-        profile, pattern_dev, n, m = self._prepare(
+    def _align_xla(self, text, pattern, score_matrix, alphabet_size,
+                   gap_penalty):
+        profile, pattern_dev, n, m = self._prepare_xla(
             text, pattern, score_matrix, alphabet_size
         )
         dirs, best, best_idx = scan_engine.sw_fill(
@@ -34,7 +35,7 @@ class SmithWaterman(PairAligner):
         )
 
     def score(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
-        profile, pattern_dev, n, m = self._prepare(
+        profile, pattern_dev, n, m = self._prepare_xla(
             text, pattern, score_matrix, alphabet_size
         )
         _, best, _ = scan_engine.sw_fill(

@@ -227,4 +227,87 @@ int32_t sa_align(int32_t algo, const int8_t* text, int64_t n,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Packed-direction tracebacks for the TPU fill kernel's output format:
+// int32 words, word row w at column position p (= j-1) holds the 2-bit
+// directions of DP rows 16w+1 .. 16w+16 (bits 2k..2k+1 for row 16w+k+1).
+// DP row 0 / column 0 are implicit (never dereferenced, see the boundary
+// overrides / break rules of the unpacked walks above).
+
+namespace {
+
+inline uint8_t packed_dir(const int32_t* words, int64_t p_cols, int64_t i,
+                          int64_t j) {
+  const int32_t w = words[((i - 1) >> 4) * p_cols + (j - 1)];
+  return static_cast<uint8_t>((w >> (2 * ((i - 1) & 15))) & 3);
+}
+
+}  // namespace
+
+// Global traceback from DP cell (m, n) over packed directions.
+void sa_traceback_nw_packed(const int32_t* words, int64_t p_cols, int64_t n,
+                            int64_t m, const int8_t* text,
+                            const int8_t* pattern, int32_t k,
+                            uint8_t* out_text, uint8_t* out_pattern,
+                            int64_t* out_len, int64_t* out_start_text,
+                            int64_t* out_start_pattern) {
+  int64_t i = m;
+  int64_t j = n;
+  int64_t ti = n - 1;
+  int64_t pi = m - 1;
+  int64_t len = 0;
+  while (i > 0 || j > 0) {
+    uint8_t dir;
+    if (j == 0) {
+      dir = kTop;
+    } else if (i == 0) {
+      dir = kLeft;
+    } else {
+      dir = packed_dir(words, p_cols, i, j);
+    }
+    emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, len++);
+    if (dir == kDiag || dir == kLeft) {
+      ti = ti > 0 ? ti - 1 : 0;
+      --j;
+    }
+    if (dir == kDiag || dir == kTop) {
+      pi = pi > 0 ? pi - 1 : 0;
+      --i;
+    }
+  }
+  *out_len = len;
+  *out_start_text = ti;
+  *out_start_pattern = pi;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+}
+
+// Local traceback from the best cell (bi, bj) over packed directions.
+void sa_traceback_sw_packed(const int32_t* words, int64_t p_cols, int64_t bi,
+                            int64_t bj, const int8_t* text,
+                            const int8_t* pattern, int32_t k,
+                            uint8_t* out_text, uint8_t* out_pattern,
+                            int64_t* out_len, int64_t* out_start_text,
+                            int64_t* out_start_pattern) {
+  int64_t i = bi;
+  int64_t j = bj;
+  int64_t ti = bj - 1;
+  int64_t pi = bi - 1;
+  int64_t len = 0;
+  while (i > 0 && j > 0 && packed_dir(words, p_cols, i, j) != kStop) {
+    const uint8_t dir = packed_dir(words, p_cols, i, j);
+    emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, len++);
+    if (dir == kDiag || dir == kLeft) --j;
+    if (dir == kDiag || dir == kTop) --i;
+    if (j == 0 || i == 0) break;
+    if (dir == kDiag || dir == kLeft) ti = ti > 0 ? ti - 1 : 0;
+    if (dir == kDiag || dir == kTop) pi = pi > 0 ? pi - 1 : 0;
+  }
+  *out_len = len;
+  *out_start_text = ti;
+  *out_start_pattern = pi;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+}
+
 }  // extern "C"
