@@ -19,50 +19,33 @@ direction bits from device memory).
 
 import json
 import sys
-import time
-from functools import partial
 
 import numpy as np
 
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
-    from seqalign_tpu.ops.batch import batch_score
+    from seqalign_tpu.bench.timing import device_seconds_per_call
+    from seqalign_tpu.ops.pallas_fill import batch_score_pallas
 
     rng = np.random.default_rng(42)
 
-    # 0.5 Gcell workload: 2048 DNA pairs of 512x512.
+    # 0.5 Gcell workload: 2048 DNA pairs of 512x512 through the inter-pair
+    # Pallas kernel (1024 pairs per grid step, one pair per vector slot).
     b, n, m = 2048, 512, 512
-    reps = 4
     sm = jnp.asarray(np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32))
     texts = jnp.asarray(rng.integers(0, 4, (b, n)), jnp.int32)
     patterns = jnp.asarray(rng.integers(0, 4, (b, m)), jnp.int32)
     ns = jnp.full((b,), n, jnp.int32)
     ms = jnp.full((b,), m, jnp.int32)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def repeat(texts, patterns, ns, ms, sm, k):
-        # The gap perturbation is 0 at runtime (SW scores are >= 0) but XLA
-        # cannot prove it, so iterations stay serialized and un-hoistable.
-        def body(_, acc):
-            s = batch_score(
-                texts, patterns, ns, ms, sm, 5 + jnp.minimum(acc, 0), local=True
-            )
-            return acc + s.astype(jnp.int32).sum()
-        return jax.lax.fori_loop(0, k, body, jnp.asarray(0, jnp.int32))
+    def call(perturb):
+        return batch_score_pallas(
+            texts, patterns, ns, ms, sm, 5 + perturb, k_alpha=4, local=True
+        )
 
-    # Warm both executables, then difference out the fixed dispatch cost.
-    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1))
-    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1 + reps))
-    t0 = time.time()
-    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1))
-    t_one = time.time() - t0
-    t0 = time.time()
-    jax.device_get(repeat(texts, patterns, ns, ms, sm, 1 + reps))
-    t_many = time.time() - t0
-    per_batch = max((t_many - t_one) / reps, 1e-9)
+    per_batch = device_seconds_per_call(call, reps=8)
 
     cells = b * n * m
     gcups = cells / per_batch / 1e9

@@ -1,0 +1,207 @@
+"""Benchmark suite (capability of reference tests/benchmarks.cu).
+
+Reproduces the reference's benchmark grids with a runtime CLI instead of
+compile-time macro/comment toggles (benchmarks.cu:2-5, 366-403):
+
+  * fill throughput (MCUPS) over square global and rectangular local
+    sizes (benchmarks.cu:102-189),
+  * end-to-end latency incl. traceback (benchmarks.cu:191-269),
+  * batch scaling (benchmarks.cu:271-332),
+  * max-length probe (benchmarks.cu:335-363).
+
+Random protein requests mirror fillDummyRequest (benchmarks.cu:21-42).
+
+Usage:
+  python -m seqalign_tpu.bench.suite throughput [--local] [--sizes ...]
+  python -m seqalign_tpu.bench.suite latency
+  python -m seqalign_tpu.bench.suite batch
+  python -m seqalign_tpu.bench.suite maxlength
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..native import bindings
+from ..ops import pallas_fill
+from .timing import device_seconds_per_call, wall_seconds
+
+NUM_REPEATS = 5  # best-of, like the reference (benchmarks.cu:5)
+
+
+def _random_protein(rng, n):
+    return rng.integers(0, constants.NUM_PROTEIN_CHARS, n).astype(np.int32)
+
+
+def _blosum50():
+    from ..io import parse_score_matrix_file
+    from ..types import Request
+
+    request = Request()
+    request.set_sequence_type(constants.SequenceType.PROTEIN)
+    parse_score_matrix_file(
+        constants.DEFAULT_PROTEIN_SCORE_MATRIX_FILE,
+        request.alphabet_size,
+        request.score_matrix,
+    )
+    return np.asarray(request.score_matrix[:23, :23], dtype=np.int32)
+
+
+def _pair_fill_seconds(n, m, local, rng, sm) -> float:
+    """Device seconds for one single-pair fill (dirs included)."""
+    text = _random_protein(rng, n)
+    pattern = _random_protein(rng, m)
+    profile, p_cols = pallas_fill.build_pair_profile(
+        jnp.asarray(text), jnp.asarray(sm), 23
+    )
+    m_pad = ((m + 127) // 128) * 128
+    pat = np.zeros(m_pad, np.int32)
+    pat[:m] = pattern
+    pat = jnp.asarray(pat)
+
+    def call(perturb):
+        dirs, score, bi, bj = pallas_fill.pair_fill_pallas(
+            profile, pat, 5 + perturb, n, m, local=local
+        )
+        return score + dirs[0, 0, 0] * 0
+
+    return device_seconds_per_call(call, reps=NUM_REPEATS)
+
+
+def cmd_throughput(args) -> None:
+    rng = np.random.default_rng(0)
+    sm = _blosum50()
+    local = args.local
+    if args.sizes:
+        sizes = [tuple(map(int, s.split("x"))) for s in args.sizes]
+    elif local:
+        # Reference grid: {256..16384} x 32768 local (benchmarks.cu:104-126).
+        sizes = [(32768, 2 ** k) for k in range(8, 15)]
+    else:
+        sizes = [(2 ** k, 2 ** k) for k in range(8, 17)]
+
+    print(f"Fill throughput ({'local' if local else 'global'}), "
+          f"direction matrix included, best-like in-device timing")
+    print(f"{'size':>16} {'ms':>10} {'MCUPS':>10}")
+    for n, m in sizes:
+        sec = _pair_fill_seconds(n, m, local, rng, sm)
+        mcups = n * m / sec / 1e6
+        print(f"{n:>8}x{m:<7} {sec * 1e3:>10.1f} {mcups:>10.0f}", flush=True)
+
+
+def cmd_latency(args) -> None:
+    from ..constants import AlignmentType, Device
+    from ..types import Request, Response
+    from .. import api
+
+    rng = np.random.default_rng(1)
+    sm = _blosum50()
+    sizes = [(2 ** k, 2 ** k) for k in range(10, 15)]
+    print("End-to-end latency (fill + transfer + traceback), best of 3")
+    print(f"{'size':>16} {'algo':>8} {'tpu ms':>10} {'cpu ms':>12}")
+    for n, m in sizes:
+        for algo in (AlignmentType.GLOBAL, AlignmentType.LOCAL):
+            request = Request()
+            request.set_sequence_type(constants.SequenceType.PROTEIN)
+            request.alignment_type = algo
+            request.gap_penalty = 5
+            request.text = _random_protein(rng, n).astype(np.int8)
+            request.pattern = _random_protein(rng, m).astype(np.int8)
+            request.score_matrix[:23, :23] = sm
+
+            def run_tpu():
+                response = Response()
+                request.device_type = Device.TPU
+                api.align(request, response)
+
+            def run_cpu():
+                response = Response()
+                request.device_type = Device.CPU
+                api.align(request, response)
+
+            t_tpu = wall_seconds(run_tpu)
+            t_cpu = wall_seconds(run_cpu, repeats=1) if n <= 16384 else float("nan")
+            print(
+                f"{n:>8}x{m:<7} {algo.value:>8} {t_tpu * 1e3:>10.0f} "
+                f"{t_cpu * 1e3:>12.0f}",
+                flush=True,
+            )
+
+
+def cmd_batch(args) -> None:
+    from ..ops.pallas_fill import batch_score_pallas, TILE_PAIRS
+
+    rng = np.random.default_rng(2)
+    sm = _blosum50()
+    n = m = args.size
+    print(f"Batch throughput, {n}x{m} global protein pairs (scores)")
+    print(f"{'batch':>8} {'ms':>10} {'pairs/s':>12} {'GCUPS':>8}")
+    for b in (1024, 2048, 4096, 8192):
+        texts = jnp.asarray(rng.integers(0, 23, (b, n)), jnp.int32)
+        patterns = jnp.asarray(rng.integers(0, 23, (b, m)), jnp.int32)
+        ns = jnp.full((b,), n, jnp.int32)
+        ms = jnp.full((b,), m, jnp.int32)
+        sm_j = jnp.asarray(sm)
+
+        def call(perturb):
+            return batch_score_pallas(
+                texts, patterns, ns, ms, sm_j, 5 + perturb,
+                k_alpha=23, local=False,
+            )
+
+        sec = device_seconds_per_call(call, reps=3)
+        print(
+            f"{b:>8} {sec * 1e3:>10.1f} {b / sec:>12.0f} "
+            f"{b * n * m / sec / 1e9:>8.1f}",
+            flush=True,
+        )
+
+
+def cmd_maxlength(args) -> None:
+    from ..ops import tiled
+
+    rng = np.random.default_rng(3)
+    sm = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+    for size in args.lengths:
+        text = rng.integers(0, 4, size).astype(np.int32)
+        pattern = rng.integers(0, 4, size).astype(np.int32)
+
+        def run():
+            tiled.tiled_fill_score(text, pattern, sm, 4, 5, local=True)
+
+        sec = wall_seconds(run, repeats=1)
+        print(
+            f"{size}x{size}: {sec * 1e3:.0f} ms "
+            f"({size * size / sec / 1e6:.0f} MCUPS)",
+            flush=True,
+        )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="seqalign-bench")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("throughput")
+    p.add_argument("--local", action="store_true")
+    p.add_argument("--sizes", nargs="*", help="e.g. 4096x4096")
+    p.set_defaults(fn=cmd_throughput)
+    p = sub.add_parser("latency")
+    p.set_defaults(fn=cmd_latency)
+    p = sub.add_parser("batch")
+    p.add_argument("--size", type=int, default=512)
+    p.set_defaults(fn=cmd_batch)
+    p = sub.add_parser("maxlength")
+    p.add_argument("--lengths", nargs="*", type=int, default=[120000])
+    p.set_defaults(fn=cmd_maxlength)
+    args = parser.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

