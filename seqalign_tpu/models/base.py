@@ -79,10 +79,20 @@ class PairAligner:
             * pallas_fill.ROWS_PER_STEP,
         )
         dirs_bytes = (m_pad // pallas_fill.DIR_ROWS_PER_WORD) * p_cols * 4
-        if dirs_bytes > config.MAX_DIRS_BYTES:
-            raise MemoryError(
-                f"direction matrix {dirs_bytes>>20} MiB exceeds budget; "
-                "use the tiled long-sequence engine"
+        if dirs_bytes > config.MAX_DIRS_BYTES or p_cols > 65536:
+            # Long pair: stream through the tiled engine instead.
+            from ..ops import tiled
+
+            result = tiled.tiled_fill(
+                np.asarray(text, dtype=np.int32),
+                np.asarray(pattern, dtype=np.int32),
+                sm, alphabet_size, gap_penalty, local=self.local,
+            )
+            return (
+                result.words,
+                result.score,
+                result.best_i,
+                result.best_j,
             )
         pat = np.zeros(m_pad, dtype=np.int32)
         pat[:m] = np.asarray(pattern, dtype=np.int32)
