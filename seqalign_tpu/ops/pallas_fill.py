@@ -212,6 +212,7 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
 
 DIR_ROWS_PER_WORD = 16  # 2-bit directions, 16 DP rows packed per int32
 ROWS_PER_STEP = 128     # DP rows per grid step
+MAX_CHUNK_ROWS = 16384  # per-call row cap (pattern + boundary col live in SMEM)
 
 
 def _sublane_excl_prefix_max(segmax: jax.Array, sub_iota: jax.Array) -> jax.Array:
@@ -281,11 +282,12 @@ def _strip_kernel(local: bool, with_dirs: bool,
 
     def row_step(r, carry):
         prev, dirpack = carry
-        i = row_base + t * ROWS_PER_STEP + r + 1
-        pat = pats_ref[0, r]
+        rr = t * ROWS_PER_STEP + r   # row index within this call
+        i = row_base + rr + 1
+        pat = pats_ref[0, rr]
         sub_scores = prof_ref[pat]
-        lc_above = lc_ref[0, r]      # S[i-1, strip_off]
-        lc_here = lc_ref[0, r + 1]   # S[i,   strip_off]
+        lc_above = lc_ref[0, rr]      # S[i-1, strip_off]
+        lc_here = lc_ref[0, rr + 1]   # S[i,   strip_off]
 
         diag = shift_right(prev, lc_above) + sub_scores
         top = prev - g
@@ -320,7 +322,7 @@ def _strip_kernel(local: bool, with_dirs: bool,
                 dirs_ref[r // DIR_ROWS_PER_WORD] = dirpack
 
         # Right-boundary column for the next strip.
-        rcol_ref[0, r] = jnp.max(jnp.where(pos_last, row, NEG_INF))
+        rcol_ref[0, rr] = jnp.max(jnp.where(pos_last, row, NEG_INF))
 
         if local:
             masked = jnp.where(col_ok, row, NEG_INF)
@@ -397,6 +399,9 @@ def strip_fill_pallas(profile, pattern, gap, n, m, row_base, strip_off,
     assert sublanes == SUBLANES
     m_chunk = pattern.shape[0]
     assert m_chunk % ROWS_PER_STEP == 0
+    assert m_chunk <= MAX_CHUNK_ROWS, (
+        f"m_chunk {m_chunk} exceeds SMEM budget; loop over blocks"
+    )
     num_steps = m_chunk // ROWS_PER_STEP
 
     gap_arr = jnp.asarray(gap, _INT).reshape(1, 1)
@@ -404,14 +409,8 @@ def strip_fill_pallas(profile, pattern, gap, n, m, row_base, strip_off,
     base = jnp.stack(
         [jnp.asarray(row_base, _INT), jnp.asarray(strip_off, _INT)]
     ).reshape(1, 2)
-    pats = pattern.astype(_INT).reshape(num_steps, ROWS_PER_STEP)
-    # Overlapping (R+1)-windows of the left boundary column.
-    lc = jnp.asarray(left_col, _INT)
-    win = (
-        jnp.arange(num_steps)[:, None] * ROWS_PER_STEP
-        + jnp.arange(ROWS_PER_STEP + 1)[None, :]
-    )
-    lc_win = lc[win]
+    pats = pattern.astype(_INT).reshape(1, m_chunk)
+    lc_win = jnp.asarray(left_col, _INT).reshape(1, m_chunk + 1)
 
     kernel = functools.partial(_strip_kernel, local, with_dirs)
     words_per_step = ROWS_PER_STEP // DIR_ROWS_PER_WORD
@@ -434,9 +433,9 @@ def strip_fill_pallas(profile, pattern, gap, n, m, row_base, strip_off,
             smem((1, 1), lambda t: (0, 0)),
             smem((1, 2), lambda t: (0, 0)),
             smem((1, 2), lambda t: (0, 0)),
-            smem((1, ROWS_PER_STEP + 1), lambda t: (t, 0)),
+            smem((1, m_chunk + 1), lambda t: (0, 0)),
             pl.BlockSpec((k_alpha, SUBLANES, l), lambda t: (0, 0, 0)),
-            smem((1, ROWS_PER_STEP), lambda t: (t, 0)),
+            smem((1, m_chunk), lambda t: (0, 0)),
             pl.BlockSpec((SUBLANES, l), lambda t: (0, 0)),
             smem((1, 4), lambda t: (0, 0)),
         ],
@@ -444,13 +443,13 @@ def strip_fill_pallas(profile, pattern, gap, n, m, row_base, strip_off,
             dirs_spec,
             smem((1, 4), lambda t: (0, 0)),
             pl.BlockSpec((SUBLANES, l), lambda t: (0, 0)),
-            smem((1, ROWS_PER_STEP), lambda t: (t, 0)),
+            smem((1, m_chunk), lambda t: (0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(dirs_shape, _INT),
             jax.ShapeDtypeStruct((1, 4), _INT),
             jax.ShapeDtypeStruct((SUBLANES, l), _INT),
-            jax.ShapeDtypeStruct((num_steps, ROWS_PER_STEP), _INT),
+            jax.ShapeDtypeStruct((1, m_chunk), _INT),
         ),
         scratch_shapes=[
             pltpu.VMEM((SUBLANES, l), _INT),

@@ -94,7 +94,9 @@ def tiled_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     m_pad = max(ROWS_PER_STEP, ((m + ROWS_PER_STEP - 1) // ROWS_PER_STEP)
                 * ROWS_PER_STEP)
     block_rows = min(
-        m_pad, max(ROWS_PER_STEP, (block_rows // ROWS_PER_STEP) * ROWS_PER_STEP)
+        m_pad,
+        pallas_fill.MAX_CHUNK_ROWS,
+        max(ROWS_PER_STEP, (block_rows // ROWS_PER_STEP) * ROWS_PER_STEP),
     )
     num_strips = max(1, -(-n // strip_cols))
     total_p = num_strips * strip_cols

@@ -1,0 +1,139 @@
+"""On-device traceback from packed direction words.
+
+The reference copies the whole byte direction matrix to pinned host
+memory and walks it on the CPU (alignSequenceGPU.cu:588-648).  Our
+default does the equivalent with 4x less transfer (2-bit words, native
+host walk); this module goes further and reconstructs the alignment
+entirely on device with a lax.while_loop over the packed words, so only
+the O(n+m) aligned strings ever leave the device.
+
+Semantics are byte-identical to the reference walks, including the NW
+first-row/column overrides (alignSequenceCPU.cpp:77-81) and the SW
+early-exit on reaching the first row/column (alignSequenceCPU.cpp:44-46).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas_fill import DIR_ROWS_PER_WORD
+
+_INT = jnp.int32
+_LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
+
+
+def _read_dir(words, i, j):
+    word = words[(i - 1) // DIR_ROWS_PER_WORD, j - 1]
+    return (word >> (2 * ((i - 1) % DIR_ROWS_PER_WORD))) & 3
+
+
+@functools.partial(jax.jit, static_argnames=("local",))
+def device_traceback(words, text, pattern, n, m, best_i, best_j,
+                     gap_index, local: bool = False):
+    """Walk the packed direction matrix on device.
+
+    Args:
+      words: (W, P) int32 packed directions (device array).
+      text, pattern: int32 alphabet-index arrays (device).
+      n, m: real lengths.  best_i/best_j: SW start cell (ignored for NW).
+      gap_index: alphabet index of the gap character (== alphabet size).
+      local: SW semantics when True.
+
+    Returns (out_text, out_pattern, length, start_text, start_pattern):
+      reversed emission order — host slices [:length] and flips.
+    """
+    max_len = text.shape[0] + pattern.shape[0]
+    out_t = jnp.zeros((max_len,), jnp.int32)
+    out_p = jnp.zeros((max_len,), jnp.int32)
+    n = jnp.asarray(n, _INT)
+    m = jnp.asarray(m, _INT)
+    gap_index = jnp.asarray(gap_index, _INT)
+
+    if local:
+        i0, j0 = jnp.asarray(best_i, _INT), jnp.asarray(best_j, _INT)
+    else:
+        i0, j0 = m, n
+    ti0 = j0 - 1
+    pi0 = i0 - 1
+
+    def cond(state):
+        i, j, ti, pi, k, alive, out_t, out_p = state
+        return alive
+
+    def body(state):
+        i, j, ti, pi, k, alive, out_t, out_p = state
+        if local:
+            d = _read_dir(words, i, j)
+            stop_now = d == _STOP
+        else:
+            d = jnp.where(
+                j == 0,
+                _TOP,
+                jnp.where(i == 0, _LEFT, _read_dir(words, i, j)),
+            )
+            stop_now = jnp.asarray(False)
+
+        take_t = jnp.logical_or(d == _DIAG, d == _LEFT)
+        take_p = jnp.logical_or(d == _DIAG, d == _TOP)
+        emit = jnp.logical_not(stop_now)
+        ch_t = jnp.where(take_t, text[jnp.maximum(ti, 0)], gap_index)
+        ch_p = jnp.where(take_p, pattern[jnp.maximum(pi, 0)], gap_index)
+        out_t = jnp.where(emit, out_t.at[k].set(ch_t), out_t)
+        out_p = jnp.where(emit, out_p.at[k].set(ch_p), out_p)
+        k = k + jnp.where(emit, 1, 0)
+
+        i2 = jnp.where(emit & take_p, i - 1, i)
+        j2 = jnp.where(emit & take_t, j - 1, j)
+
+        if local:
+            hit_edge = jnp.logical_or(i2 == 0, j2 == 0)
+            upd = emit & jnp.logical_not(hit_edge)
+            alive = upd
+        else:
+            upd = emit
+            alive = jnp.logical_and(emit, jnp.logical_or(i2 > 0, j2 > 0))
+        ti = jnp.where(upd & take_t, jnp.maximum(ti - 1, 0), ti)
+        pi = jnp.where(upd & take_p, jnp.maximum(pi - 1, 0), pi)
+        return (i2, j2, ti, pi, k, alive, out_t, out_p)
+
+    alive0 = jnp.asarray(True) if not local else jnp.logical_and(i0 > 0, j0 > 0)
+    state = jax.lax.while_loop(
+        cond, body,
+        (i0, j0, ti0, pi0, jnp.asarray(0, _INT), alive0, out_t, out_p),
+    )
+    i, j, ti, pi, k, _, out_t, out_p = state
+    return out_t, out_p, k, ti, pi
+
+
+def run_device_traceback(words, text, pattern, n, m, best_i, best_j,
+                         alphabet_size: int, local: bool):
+    """Host wrapper: returns (aligned_text_idx, aligned_pattern_idx,
+    start_text, start_pattern) as numpy in final (unreversed) order."""
+    out_t, out_p, k, ti, pi = device_traceback(
+        jnp.asarray(words), jnp.asarray(np.asarray(text, np.int32)),
+        jnp.asarray(np.asarray(pattern, np.int32)),
+        n, m, best_i, best_j, alphabet_size, local=local,
+    )
+    k = int(k)
+    at = np.asarray(jax.device_get(out_t))[:k][::-1].astype(np.uint8)
+    ap = np.asarray(jax.device_get(out_p))[:k][::-1].astype(np.uint8)
+    return at, ap, int(ti), int(pi)
+
+
+def pack_words(dirs_bytes: np.ndarray) -> np.ndarray:
+    """Pack a (rows, cols) byte direction matrix (incl. the row-0/col-0
+    borders) into the kernel word format — testing helper."""
+    m = dirs_bytes.shape[0] - 1
+    p = dirs_bytes.shape[1] - 1
+    m_pad = ((m + DIR_ROWS_PER_WORD - 1) // DIR_ROWS_PER_WORD) * DIR_ROWS_PER_WORD
+    words = np.zeros((m_pad // DIR_ROWS_PER_WORD, p), dtype=np.int32)
+    for i in range(1, m + 1):
+        words[(i - 1) // DIR_ROWS_PER_WORD] |= (
+            dirs_bytes[i, 1:].astype(np.int32)
+            << (2 * ((i - 1) % DIR_ROWS_PER_WORD))
+        )
+    return words

@@ -1,0 +1,66 @@
+"""Sequence-parallel single-pair engine on the 8-device virtual mesh."""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.native import bindings
+from seqalign_tpu.parallel.sequence import sequence_parallel_fill
+
+
+def _dna_sm():
+    return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_sequence_parallel_score(local):
+    rng = np.random.default_rng(0)
+    sm = _dna_sm()
+    n, m = 10000, 300  # 8 strips of 2048 cols, 3 row blocks -> 10 supersteps
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+
+    score, bi, bj, _ = sequence_parallel_fill(
+        text, pattern, sm, 4, 5, local=local, with_dirs=False
+    )
+    _, oscore, obest = bindings.oracle_fill(
+        1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
+        sm, 4, 5,
+    )
+    assert score == oscore
+    if local:
+        assert (bi, bj) == (obest // (n + 1), obest % (n + 1))
+
+
+def test_sequence_parallel_dirs_and_traceback():
+    rng = np.random.default_rng(1)
+    sm = _dna_sm()
+    n, m = 9000, 200
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+
+    score, bi, bj, words = sequence_parallel_fill(
+        text, pattern, sm, 4, 5, local=False, with_dirs=True
+    )
+    odirs, oscore, _ = bindings.oracle_fill(
+        0, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 5
+    )
+    assert score == oscore
+    rows = np.arange(1, m + 1)
+    w = words[(rows - 1) // 16]
+    got = (w >> (2 * ((rows - 1) % 16))[:, None]) & 3
+    np.testing.assert_array_equal(got[:, :n], odirs[1:, 1:])
+
+    at, ap, st, sp = bindings.traceback_packed(
+        0, words, text, pattern, 4
+    )
+    oat, oap, ost, osp, _ = bindings.oracle_align(
+        0, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 5
+    )
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
