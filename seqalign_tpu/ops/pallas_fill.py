@@ -492,9 +492,15 @@ def pair_fill_pallas(profile, pattern, gap, n, m, local: bool = False,
     """
     k_alpha, sublanes, l = profile.shape
     m_pad = pattern.shape[0]
-    gap_c = int(gap)
-    lc = jnp.asarray(nw_boundary_col(0, m_pad, gap_c, local))
-    prev0 = jnp.asarray(init_prev_row(l, 0, gap_c, local))
+    gap_t = jnp.asarray(gap, _INT)
+    if local:
+        lc = jnp.zeros((m_pad + 1,), _INT)
+        prev0 = jnp.zeros((SUBLANES, l), _INT)
+    else:
+        lc = -gap_t * jnp.arange(m_pad + 1, dtype=_INT)
+        prev0 = (
+            -gap_t * jnp.arange(1, SUBLANES * l + 1, dtype=_INT)
+        ).reshape(SUBLANES, l)
     state0 = jnp.asarray(_zeros_state(local))
     dirs, _, _, state = strip_fill_pallas(
         profile, pattern, gap, n, m, 0, 0, lc, prev0, state0,
