@@ -54,9 +54,22 @@ def _blosum50():
 
 
 def _pair_fill_seconds(n, m, local, rng, sm) -> float:
-    """Device seconds for one single-pair fill (dirs included)."""
+    """Device seconds for one single-pair fill (dirs included).
+
+    For patterns beyond one call's row budget, falls back to wall-clock
+    timing of the tiled streaming engine (which then also includes the
+    D2H of the packed direction words, like the reference's fill-only
+    protocol, alignSequenceGPU.cu:555-626)."""
     text = _random_protein(rng, n)
     pattern = _random_protein(rng, m)
+    if m > pallas_fill.MAX_CHUNK_ROWS:
+        from ..ops import tiled
+
+        def run():
+            tiled.tiled_fill(text, pattern, sm, 23, 5, local=local,
+                             with_dirs=True)
+
+        return wall_seconds(run, repeats=1)
     profile, p_cols = pallas_fill.build_pair_profile(
         jnp.asarray(text), jnp.asarray(sm), 23
     )

@@ -79,7 +79,11 @@ class PairAligner:
             * pallas_fill.ROWS_PER_STEP,
         )
         dirs_bytes = (m_pad // pallas_fill.DIR_ROWS_PER_WORD) * p_cols * 4
-        if dirs_bytes > config.MAX_DIRS_BYTES or p_cols > 65536:
+        if (
+            dirs_bytes > config.MAX_DIRS_BYTES
+            or p_cols > 65536
+            or m_pad > pallas_fill.MAX_CHUNK_ROWS
+        ):
             # Long pair: stream through the tiled engine instead.
             from ..ops import tiled
 

@@ -54,6 +54,14 @@ def _library() -> ctypes.CDLL:
         lib.sa_traceback_sw_packed.argtypes = [
             i32p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
         ]
+        lib.sa_traceback_nw_skewed.restype = None
+        lib.sa_traceback_nw_skewed.argtypes = [
+            i32p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+        ]
+        lib.sa_traceback_sw_skewed.restype = None
+        lib.sa_traceback_sw_skewed.argtypes = [
+            i32p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+        ]
         _lib = lib
     return _lib
 
@@ -170,6 +178,47 @@ def traceback(
     else:
         lib.sa_traceback_sw(
             flat, best_idx, rows, cols, text, pattern, alphabet_size,
+            out_text, out_pattern,
+            ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        )
+    k = out_len.value
+    return out_text[:k].copy(), out_pattern[:k].copy(), out_st.value, out_sp.value
+
+
+def traceback_skewed(
+    algo: int,
+    words: np.ndarray,
+    steps_pad: int,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    alphabet_size: int,
+    best_i: int = 0,
+    best_j: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Traceback over the wavefront kernel's skewed word format.
+
+    ``words`` is (num_strips, steps_pad/16, 1024) int32.
+    """
+    lib = _library()
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    n, m = text.shape[0], pattern.shape[0]
+    out_text = np.empty(n + m + 1, dtype=np.uint8)
+    out_pattern = np.empty(n + m + 1, dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    out_st = ctypes.c_int64()
+    out_sp = ctypes.c_int64()
+    flat = words.reshape(-1)
+    if algo == 0:
+        lib.sa_traceback_nw_skewed(
+            flat, steps_pad, n, m, text, pattern, alphabet_size,
+            out_text, out_pattern,
+            ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        )
+    else:
+        lib.sa_traceback_sw_skewed(
+            flat, steps_pad, best_i, best_j, text, pattern, alphabet_size,
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
         )
