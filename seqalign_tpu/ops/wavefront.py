@@ -48,7 +48,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
                       dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref,
                       cur_scr, topprev_scr, w_scr, acc_scr, aj_scr, snap_scr,
-                      coef_scr):
+                      coll_scr, coef_scr):
     g_blk = pl.program_id(0)
     num_blk = pl.num_programs(0)
     gap = scal_ref[0, 0]
@@ -60,6 +60,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool,
     sub = jax.lax.broadcasted_iota(_INT, (SUBLANES, 128), 0)
     slot = sub * 128 + lane
     pos00 = slot == 0
+    pos_last = slot == SLOTS - 1
     ivec = i0 + slot + 1
     row_ok = ivec <= m
 
@@ -95,73 +96,96 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool,
 
     coefs = [coef_scr[c] for c in range(k_alpha)]
 
-    def step_fn(k, carry):
-        cur, topprev, w, word = carry
-        t = g_blk * STEPS + k
-        jvec = t - slot + 1
+    # Manual 16x unroll: one fori iteration handles one direction word's
+    # worth of steps, so the word's bit positions are static, the loop
+    # overhead amortizes, and flushes sit at static unroll positions.
+    assert STEPS % DIR_STEPS_PER_WORD == 0
+    unroll = DIR_STEPS_PER_WORD
+    acc0 = acc_scr[:, :]
+    aj0 = aj_scr[:, :]
+    snap0 = snap_scr[:, :]
 
-        # Frontier injections (scalar unit): new column's text letter and
-        # the strip's top boundary row value H[i0, t+1].
-        w = shift_slots(w, text_ref[0, 0, k])
-        top = shift_slots(cur, bot_in_ref[0, 0, k])
-        diag_src = topprev
+    def word_fn(k16, carry):
+        cur, topprev, w, coll, acc, aj, snap = carry
+        word = jnp.zeros((SUBLANES, 128), _INT)
+        for r in range(unroll):
+            k = k16 * unroll + r
+            t = g_blk * STEPS + k
+            jvec = t - slot + 1
 
-        sub_scores = coefs[k_alpha - 1]
-        for c in range(k_alpha - 1):
-            sub_scores = jnp.where(w == c, coefs[c], sub_scores)
+            # Frontier injections (scalar unit): new column's text letter
+            # and the strip's top boundary row value H[i0, t+1].
+            w = shift_slots(w, text_ref[0, 0, k])
+            top = shift_slots(cur, bot_in_ref[0, 0, k])
+            diag_src = topprev
 
-        diag = diag_src + sub_scores
-        left = cur
-        gap_best = jnp.maximum(top, left) - gap
-        best = jnp.maximum(diag, gap_best)
-        newval = jnp.maximum(best, 0) if local else best
+            sub_scores = coefs[k_alpha - 1]
+            for c in range(k_alpha - 1):
+                sub_scores = jnp.where(w == c, coefs[c], sub_scores)
 
-        started = jvec >= 1
-        cur_next = jnp.where(started, newval, cur)
+            diag = diag_src + sub_scores
+            left = cur
+            gap_best = jnp.maximum(top, left) - gap
+            best = jnp.maximum(diag, gap_best)
+            newval = jnp.maximum(best, 0) if local else best
+
+            started = jvec >= 1
+            cur_next = jnp.where(started, newval, cur)
+
+            if with_dirs:
+                is_diag = diag > gap_best
+                is_left = jnp.logical_and(
+                    jnp.logical_not(is_diag), left >= top
+                )
+                d = jnp.where(
+                    is_diag, 1, jnp.where(is_left, 0, 2)
+                ).astype(_INT)
+                if local:
+                    d = jnp.where(best > 0, d, 3)
+                word = d if r == 0 else word | (d << (2 * r))
+
+            # Bottom-row stream for the next strip: slot 1023's values
+            # collected vectorially (roll left, insert at the end).
+            coll = jnp.where(
+                pos_last, cur_next, pltpu.roll(coll, 127, axis=1)
+            )
+
+            if local:
+                valid = jnp.logical_and(
+                    started, jnp.logical_and(jvec <= n, row_ok)
+                )
+                cand = jnp.where(valid, newval, NEG_INF)
+                improved = cand > acc
+                acc = jnp.maximum(acc, cand)
+                aj = jnp.where(improved, jvec, aj)
+            else:
+                hit = jnp.logical_and(ivec == m, jvec == n)
+                snap = jnp.where(hit, newval, snap)
+
+            cur, topprev = cur_next, top
 
         if with_dirs:
-            is_diag = diag > gap_best
-            is_left = jnp.logical_and(
-                jnp.logical_not(is_diag), left - gap >= top - gap
-            )
-            d = jnp.where(is_diag, 1, jnp.where(is_left, 0, 2)).astype(_INT)
-            if local:
-                d = jnp.where(best > 0, d, 3)
-            bits = d << (2 * (t % DIR_STEPS_PER_WORD))
-            word = jnp.where(
-                t % DIR_STEPS_PER_WORD == 0, bits, word | bits
-            )
+            dirs_ref[k16] = word
 
-            @pl.when(t % DIR_STEPS_PER_WORD == DIR_STEPS_PER_WORD - 1)
-            def _flush():
-                dirs_ref[k // DIR_STEPS_PER_WORD] = word
+        @pl.when(k16 % (128 // unroll) == (128 // unroll) - 1)
+        def _flush_bottom():
+            bot_out_ref[(k16 * unroll) // 128] = coll
 
-        # Bottom-row stream for the next strip: slot 1023's cell.
-        bot_out_ref[0, 0, k] = cur_next[SUBLANES - 1, 127]
+        return cur, topprev, w, coll, acc, aj, snap
 
-        # Per-row best tracking (local) / (m, n) snapshot (global).
-        if local:
-            valid = jnp.logical_and(
-                started, jnp.logical_and(jvec <= n, row_ok)
-            )
-            cand = jnp.where(valid, newval, NEG_INF)
-            improved = cand > acc_scr[:, :]
-            acc_scr[:, :] = jnp.maximum(acc_scr[:, :], cand)
-            aj_scr[:, :] = jnp.where(improved, jvec, aj_scr[:, :])
-        else:
-            hit = jnp.logical_and(ivec == m, jvec == n)
-            snap_scr[:, :] = jnp.where(hit, newval, snap_scr[:, :])
-
-        return cur_next, top, w, word
-
-    word0 = jnp.zeros((SUBLANES, 128), _INT)
-    cur, topprev, w, _ = jax.lax.fori_loop(
-        0, STEPS, step_fn,
-        (cur_scr[:, :], topprev_scr[:, :], w_scr[:, :], word0),
+    cur, topprev, w, _, acc, aj, snap = jax.lax.fori_loop(
+        0, STEPS // unroll, word_fn,
+        (cur_scr[:, :], topprev_scr[:, :], w_scr[:, :], coll_scr[:, :],
+         acc0, aj0, snap0),
     )
     cur_scr[:, :] = cur
     topprev_scr[:, :] = topprev
     w_scr[:, :] = w
+    if local:
+        acc_scr[:, :] = acc
+        aj_scr[:, :] = aj
+    else:
+        snap_scr[:, :] = snap
 
     @pl.when(g_blk == num_blk - 1)
     def _finish():
@@ -230,25 +254,32 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         ],
         out_specs=(
             dirs_spec,
-            smem((1, 1, STEPS), lambda g: (g, 0, 0)),
+            pl.BlockSpec(
+                (STEPS // 128, SUBLANES, 128), lambda g: (g, 0, 0)
+            ),
             vec_spec,
             vec_spec,
             vec_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(dirs_shape, _INT),
-            jax.ShapeDtypeStruct((num_blocks, 1, STEPS), _INT),
+            jax.ShapeDtypeStruct(
+                (num_blocks * (STEPS // 128), SUBLANES, 128), _INT
+            ),
             jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
             jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
             jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
         ),
-        scratch_shapes=[pltpu.VMEM((SUBLANES, 128), _INT)] * 6
+        scratch_shapes=[pltpu.VMEM((SUBLANES, 128), _INT)] * 7
         + [pltpu.VMEM((k_alpha, SUBLANES, 128), _INT)],
         interpret=interpret,
     )(scal, sm, text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
       bottom_in.astype(_INT).reshape(num_blocks, 1, STEPS),
       pattern_slots.astype(_INT))
-    return dirs, bot_out.reshape(num_blocks, STEPS), rowmax, argj, snap
+    # Collector flush f (one per 128 steps) holds, at (sublane 7, lane l),
+    # the slot-1023 value of step f*128 + l.
+    bot_flat = bot_out[:, SUBLANES - 1, :].reshape(-1)
+    return dirs, bot_flat.reshape(num_blocks, STEPS), rowmax, argj, snap
 
 
 def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
