@@ -196,6 +196,81 @@ def cmd_maxlength(args) -> None:
         )
 
 
+def cmd_engines(args) -> None:
+    """Engine comparison on one fill — the analog of the reference's
+    diagonal-vs-horizontal kernel benchmark (benchmarks.cu:56-100,
+    tests/old_alignSequenceGPU.cu), here: lax.scan row engine vs the
+    Pallas strip kernel vs the Pallas wavefront kernel."""
+    import jax.numpy as jnp
+
+    from ..ops import pallas_fill, scan_engine, wavefront
+
+    rng = np.random.default_rng(4)
+    n = m = args.size
+    sm_np = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+    cells = n * m
+
+    # XLA scan engine.
+    width = scan_engine.padded_width(n)
+    prof = scan_engine.build_profile(
+        jnp.asarray(text), jnp.asarray(sm_np), width
+    )
+    pat = jnp.asarray(scan_engine.pad_pattern(pattern, scan_engine.padded_rows(m)))
+
+    def xla_call(perturb):
+        dirs, best, _ = scan_engine.sw_fill(
+            prof, pat, 5 + perturb, n, m, with_dirs=True
+        )
+        return best + dirs[0, 0].astype(jnp.int32) * 0
+
+    sec = device_seconds_per_call(xla_call, reps=3)
+    print(f"xla scan engine:      {sec * 1e3:9.1f} ms  "
+          f"{cells / sec / 1e6:9.0f} MCUPS", flush=True)
+
+    # Pallas strip (prefix-max) kernel.
+    prof2, p_cols = pallas_fill.build_pair_profile(
+        jnp.asarray(text), jnp.asarray(sm_np), 4
+    )
+    m_pad = -(-m // 128) * 128
+    pat2 = np.zeros(m_pad, np.int32)
+    pat2[:m] = pattern
+    pat2 = jnp.asarray(pat2)
+
+    def strip_call(perturb):
+        dirs, score, bi, bj = pallas_fill.pair_fill_pallas(
+            prof2, pat2, 5 + perturb, n, m, local=True
+        )
+        return score + dirs[0, 0, 0] * 0
+
+    sec = device_seconds_per_call(strip_call, reps=3)
+    print(f"pallas strip kernel:  {sec * 1e3:9.1f} ms  "
+          f"{cells / sec / 1e6:9.0f} MCUPS", flush=True)
+
+    # Pallas wavefront kernel (per-strip sweep cost).
+    steps_pad = -(-(n + wavefront.SLOTS - 1) // wavefront.STEPS) * wavefront.STEPS
+    nb = steps_pad // wavefront.STEPS
+    ts = jnp.asarray(
+        np.pad(text, (0, steps_pad - n)).reshape(nb, wavefront.STEPS)
+    )
+    bot = jnp.zeros((nb, wavefront.STEPS), jnp.int32)
+    pslots = jnp.asarray(pat2[: wavefront.SLOTS].reshape(8, 128))
+
+    def wave_call(perturb):
+        dirs, bo, rm, aj, sn = wavefront.wavefront_strip(
+            ts, bot, pslots, jnp.asarray(sm_np), 5 + perturb, n, m, 0,
+            k_alpha=4, local=True, with_dirs=True,
+        )
+        return rm
+
+    sec = device_seconds_per_call(wave_call, reps=3)
+    strips = -(-m // wavefront.SLOTS)
+    total = sec * strips
+    print(f"pallas wavefront:     {total * 1e3:9.1f} ms  "
+          f"{cells / total / 1e6:9.0f} MCUPS", flush=True)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="seqalign-bench")
     sub = parser.add_subparsers(dest="cmd", required=True)

@@ -56,11 +56,13 @@ def _library() -> ctypes.CDLL:
         ]
         lib.sa_traceback_nw_skewed.restype = None
         lib.sa_traceback_nw_skewed.argtypes = [
-            i32p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+            i32p, i64, i64, i64, i64, i8p, i8p, i32,
+            u8p, u8p, pi64, pi64, pi64,
         ]
         lib.sa_traceback_sw_skewed.restype = None
         lib.sa_traceback_sw_skewed.argtypes = [
-            i32p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+            i32p, i64, i64, i64, i64, i8p, i8p, i32,
+            u8p, u8p, pi64, pi64, pi64,
         ]
         _lib = lib
     return _lib
@@ -194,10 +196,12 @@ def traceback_skewed(
     alphabet_size: int,
     best_i: int = 0,
     best_j: int = 0,
+    rps: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Traceback over the wavefront kernel's skewed word format.
 
-    ``words`` is (num_strips, steps_pad/16, 1024) int32.
+    ``words`` is (num_strips, steps_pad/16 * rps, 1024) int32; rps is the
+    kernel's rows-per-slot blocking factor.
     """
     lib = _library()
     words = np.ascontiguousarray(words, dtype=np.int32)
@@ -212,13 +216,14 @@ def traceback_skewed(
     flat = words.reshape(-1)
     if algo == 0:
         lib.sa_traceback_nw_skewed(
-            flat, steps_pad, n, m, text, pattern, alphabet_size,
+            flat, steps_pad, rps, n, m, text, pattern, alphabet_size,
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
         )
     else:
         lib.sa_traceback_sw_skewed(
-            flat, steps_pad, best_i, best_j, text, pattern, alphabet_size,
+            flat, steps_pad, rps, best_i, best_j, text, pattern,
+            alphabet_size,
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
         )

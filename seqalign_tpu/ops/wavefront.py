@@ -1,26 +1,30 @@
-"""Skewed-wavefront single-pair fill kernel.
+"""Skewed-wavefront single-pair fill kernel (R-row blocked).
 
 The fastest single-pair engine: a systolic mapping where vector slot
-s (of 1024 = 8 sublanes x 128 lanes) owns DP row i0+s+1 and the sweep
-variable t advances columns — at step t, slot s computes cell
-(i0+s+1, t-s+1).  All DP dependencies then come from the same slot or
-the neighboring slot at earlier steps, so a step is ~35 dense (8, 128)
-vector ops for 1024 cells: no prefix scan, no reductions, no gathers.
-This is the TPU-native expression of the reference's anti-diagonal
-wavefront (cuda_fillMatrixNW, alignSequenceGPU.cu:73-178), with the
-inter-chunk spin-lock protocol replaced by SMEM step streams carrying
-the strip's bottom row to the next 1024-row strip.
+s (of 1024 = 8 sublanes x 128 lanes) owns R consecutive DP rows
+(i0 + R*s + 1 .. i0 + R*s + R) and the sweep variable t advances
+columns — at step t, slot s computes column j = t-s+1 for all of its R
+rows.  In-slot rows chain without any data movement, and only the
+block-edge row needs the neighboring slot's value, so one step costs
+two slot-shifts (cross-lane rolls, the expensive ops on the VPU) +
+~18*R cheap elementwise ops for R*1024 cells.  This is the TPU-native
+expression of the reference's anti-diagonal wavefront
+(cuda_fillMatrixNW, alignSequenceGPU.cu:73-178), with the inter-chunk
+spin-lock protocol replaced by a bottom-row stream carried to the next
+strip.
 
 Boundary trick: slots not yet reached by the wave (j < 1) hold the DP
-boundary column S[i, 0] in their state, so the frontier needs no special
-casing — the masked update preserves them until the wave arrives.
+boundary column S[i, 0] in their state, so the frontier needs no
+special-casing — the masked update preserves them until the wave
+arrives.
 
-Direction bits are emitted in a *skewed word format*: word block
-b = t//16 at slot s holds the 2-bit directions of steps 16b..16b+15
-(bit 2*(t%16)), i.e. columns j = t-s+1.  The native traceback
-sa_traceback_*_skewed resolves (i, j) -> (strip, slot, t) directly.
+Direction bits are emitted in a *skewed word format*: word
+(b = t//16, r, s) holds the 2-bit directions of steps 16b..16b+15 of
+slot s's row r (bit 2*(t%16)), i.e. columns j = t-s+1.  The native
+walkers sa_traceback_*_skewed resolve (i, j) -> (strip, slot, r, t)
+directly.
 
-Best-cell tracking is per-slot (per-row): running row maximum with
+Best-cell tracking is per-row: running row maximum with
 strict-improvement first-column capture, merged across rows on host —
 reproducing the reference's row-major first-occurrence semantics
 exactly (alignSequenceCPU.cpp:191-192).
@@ -39,15 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_fill import NEG_INF, SUBLANES
 
 _INT = jnp.int32
-SLOTS = 1024           # rows per strip = vector slots (8 x 128)
+SLOTS = 1024           # vector slots (8 sublanes x 128 lanes)
+ROWS_PER_SLOT = 8      # DP rows per slot ("R"); strip = R * 1024 rows
 STEPS = 256            # sweep steps per grid block (multiple of 16)
 DIR_STEPS_PER_WORD = 16
 
 
-def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool,
+def strip_rows(r: int = ROWS_PER_SLOT) -> int:
+    return r * SLOTS
+
+
+def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
                       dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref,
-                      cur_scr, topprev_scr, w_scr, acc_scr, aj_scr, snap_scr,
+                      cur_scr, topsh_scr, w_scr, acc_scr, aj_scr, snap_scr,
                       coll_scr, coef_scr):
     g_blk = pl.program_id(0)
     num_blk = pl.num_programs(0)
@@ -61,8 +70,8 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool,
     slot = sub * 128 + lane
     pos00 = slot == 0
     pos_last = slot == SLOTS - 1
-    ivec = i0 + slot + 1
-    row_ok = ivec <= m
+    # Row index per in-slot row r: ivec_r = i0 + rps*slot + r + 1.
+    ibase = i0 + rps * slot
 
     def shift_slots(x, fill):
         rolled = pltpu.roll(x, 1, axis=1)
@@ -72,151 +81,177 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool,
 
     @pl.when(g_blk == 0)
     def _init():
-        boundary = (
-            jnp.zeros((SUBLANES, 128), _INT) if local else -(gap * ivec)
+        for r in range(rps):
+            cur_scr[r] = (
+                jnp.zeros((SUBLANES, 128), _INT)
+                if local
+                else -(gap * (ibase + r + 1))
+            )
+        # topsh's init only matters for slot 0 at t=0, whose first
+        # diagonal ancestor is the strip corner H[i0, 0]; other slots get
+        # theirs via the shift chain (boundary of the neighbor's last row).
+        last_boundary = (
+            jnp.zeros((SUBLANES, 128), _INT) if local else -(gap * ibase)
         )
-        cur_scr[:, :] = boundary
-        # topprev's init only matters for slot 0 at t=0, whose diagonal
-        # ancestor is the corner H[i0, 0]; other slots get their first
-        # diagonal via the shift chain.
-        topprev_scr[:, :] = (
-            boundary if local else jnp.where(pos00, -(gap * i0), boundary)
+        topsh_scr[:, :] = (
+            last_boundary if local
+            else jnp.where(pos00, -(gap * i0), last_boundary)
         )
         w_scr[:, :] = jnp.zeros((SUBLANES, 128), _INT)
-        acc_scr[:, :] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
-        aj_scr[:, :] = jnp.zeros((SUBLANES, 128), _INT)
-        snap_scr[:, :] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
-        # Per-row substitution coefficients: coef[c][s] = sm[pattern_s, c].
-        pat = pat_ref[:, :]
-        for c in range(k_alpha):
-            cc = jnp.zeros((SUBLANES, 128), _INT)
-            for a in range(k_alpha):
-                cc = jnp.where(pat == a, sm_ref[a, c], cc)
-            coef_scr[c] = cc
+        if local:
+            for r in range(rps):
+                acc_scr[r] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
+                aj_scr[r] = jnp.zeros((SUBLANES, 128), _INT)
+        else:
+            snap_scr[:, :] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
+        # Substitution coefficients per in-slot row: coef[r*K + c].
+        for r in range(rps):
+            pat = pat_ref[r]
+            for c in range(k_alpha):
+                cc = jnp.zeros((SUBLANES, 128), _INT)
+                for a in range(k_alpha):
+                    cc = jnp.where(pat == a, sm_ref[a, c], cc)
+                coef_scr[r * k_alpha + c] = cc
 
-    coefs = [coef_scr[c] for c in range(k_alpha)]
+    coefs = [
+        [coef_scr[r * k_alpha + c] for c in range(k_alpha)]
+        for r in range(rps)
+    ]
 
-    # Manual 16x unroll: one fori iteration handles one direction word's
-    # worth of steps, so the word's bit positions are static, the loop
-    # overhead amortizes, and flushes sit at static unroll positions.
-    assert STEPS % DIR_STEPS_PER_WORD == 0
     unroll = DIR_STEPS_PER_WORD
-    acc0 = acc_scr[:, :]
-    aj0 = aj_scr[:, :]
+    acc0 = [acc_scr[r] for r in range(rps)] if local else []
+    aj0 = [aj_scr[r] for r in range(rps)] if local else []
     snap0 = snap_scr[:, :]
 
     def word_fn(k16, carry):
-        cur, topprev, w, coll, acc, aj, snap = carry
-        word = jnp.zeros((SUBLANES, 128), _INT)
-        for r in range(unroll):
-            k = k16 * unroll + r
+        curs, topsh, w, coll, accs, ajs, snap = carry
+        words = [jnp.zeros((SUBLANES, 128), _INT)] * rps
+        for u in range(unroll):
+            k = k16 * unroll + u
             t = g_blk * STEPS + k
             jvec = t - slot + 1
-
-            # Frontier injections (scalar unit): new column's text letter
-            # and the strip's top boundary row value H[i0, t+1].
-            w = shift_slots(w, text_ref[0, 0, k])
-            top = shift_slots(cur, bot_in_ref[0, 0, k])
-            diag_src = topprev
-
-            sub_scores = coefs[k_alpha - 1]
-            for c in range(k_alpha - 1):
-                sub_scores = jnp.where(w == c, coefs[c], sub_scores)
-
-            diag = diag_src + sub_scores
-            left = cur
-            gap_best = jnp.maximum(top, left) - gap
-            best = jnp.maximum(diag, gap_best)
-            newval = jnp.maximum(best, 0) if local else best
-
             started = jvec >= 1
-            cur_next = jnp.where(started, newval, cur)
 
-            if with_dirs:
-                is_diag = diag > gap_best
-                is_left = jnp.logical_and(
-                    jnp.logical_not(is_diag), left >= top
-                )
-                d = jnp.where(
-                    is_diag, 1, jnp.where(is_left, 0, 2)
-                ).astype(_INT)
+            w = shift_slots(w, text_ref[0, 0, k])
+            # Neighbor's last row at this column / previous column.
+            nb_top = shift_slots(curs[rps - 1], bot_in_ref[0, 0, k])
+            nb_diag = topsh
+
+            new_curs = []
+            top = nb_top
+            diag_src = nb_diag
+            for r in range(rps):
+                sub_scores = coefs[r][k_alpha - 1]
+                for c in range(k_alpha - 1):
+                    sub_scores = jnp.where(w == c, coefs[r][c], sub_scores)
+                diag = diag_src + sub_scores
+                left = curs[r]
+                gap_best = jnp.maximum(top, left) - gap
+                best = jnp.maximum(diag, gap_best)
+                newval = jnp.maximum(best, 0) if local else best
+                cur_next = jnp.where(started, newval, curs[r])
+
+                if with_dirs:
+                    is_diag = diag > gap_best
+                    is_left = jnp.logical_and(
+                        jnp.logical_not(is_diag), left >= top
+                    )
+                    d = jnp.where(
+                        is_diag, 1, jnp.where(is_left, 0, 2)
+                    ).astype(_INT)
+                    if local:
+                        d = jnp.where(best > 0, d, 3)
+                    words[r] = d if u == 0 else words[r] | (d << (2 * u))
+
                 if local:
-                    d = jnp.where(best > 0, d, 3)
-                word = d if r == 0 else word | (d << (2 * r))
+                    valid = jnp.logical_and(
+                        started,
+                        jnp.logical_and(jvec <= n, ibase + r + 1 <= m),
+                    )
+                    cand = jnp.where(valid, newval, NEG_INF)
+                    improved = cand > accs[r]
+                    accs[r] = jnp.maximum(accs[r], cand)
+                    ajs[r] = jnp.where(improved, jvec, ajs[r])
+                else:
+                    hit = jnp.logical_and(ibase + r + 1 == m, jvec == n)
+                    snap = jnp.where(hit, newval, snap)
 
-            # Bottom-row stream for the next strip: slot 1023's values
-            # collected vectorially (roll left, insert at the end).
+                # Next row's top = this row's new value; its diagonal =
+                # this row's previous-step value.
+                diag_src = curs[r]
+                top = cur_next
+                new_curs.append(cur_next)
+
+            curs = new_curs
+            topsh = nb_top
+            # Bottom-row stream: last row of slot 1023, collected
+            # vectorially and flushed once per 128 steps.
             coll = jnp.where(
-                pos_last, cur_next, pltpu.roll(coll, 127, axis=1)
+                pos_last, curs[rps - 1], pltpu.roll(coll, 127, axis=1)
             )
 
-            if local:
-                valid = jnp.logical_and(
-                    started, jnp.logical_and(jvec <= n, row_ok)
-                )
-                cand = jnp.where(valid, newval, NEG_INF)
-                improved = cand > acc
-                acc = jnp.maximum(acc, cand)
-                aj = jnp.where(improved, jvec, aj)
-            else:
-                hit = jnp.logical_and(ivec == m, jvec == n)
-                snap = jnp.where(hit, newval, snap)
-
-            cur, topprev = cur_next, top
-
         if with_dirs:
-            dirs_ref[k16] = word
+            for r in range(rps):
+                dirs_ref[k16 * rps + r] = words[r]
 
         @pl.when(k16 % (128 // unroll) == (128 // unroll) - 1)
         def _flush_bottom():
             bot_out_ref[(k16 * unroll) // 128] = coll
 
-        return cur, topprev, w, coll, acc, aj, snap
+        return curs, topsh, w, coll, accs, ajs, snap
 
-    cur, topprev, w, _, acc, aj, snap = jax.lax.fori_loop(
+    curs0 = [cur_scr[r] for r in range(rps)]
+    curs, topsh, w, _, accs, ajs, snap = jax.lax.fori_loop(
         0, STEPS // unroll, word_fn,
-        (cur_scr[:, :], topprev_scr[:, :], w_scr[:, :], coll_scr[:, :],
+        (curs0, topsh_scr[:, :], w_scr[:, :], coll_scr[:, :],
          acc0, aj0, snap0),
     )
-    cur_scr[:, :] = cur
-    topprev_scr[:, :] = topprev
+    for r in range(rps):
+        cur_scr[r] = curs[r]
+    topsh_scr[:, :] = topsh
     w_scr[:, :] = w
     if local:
-        acc_scr[:, :] = acc
-        aj_scr[:, :] = aj
+        for r in range(rps):
+            acc_scr[r] = accs[r]
+            aj_scr[r] = ajs[r]
     else:
         snap_scr[:, :] = snap
 
     @pl.when(g_blk == num_blk - 1)
     def _finish():
-        rowmax_ref[:, :] = acc_scr[:, :]
-        argj_ref[:, :] = aj_scr[:, :]
-        snap_ref[:, :] = snap_scr[:, :]
+        if local:
+            for r in range(rps):
+                rowmax_ref[r] = acc_scr[r]
+                argj_ref[r] = aj_scr[r]
+        else:
+            snap_ref[:, :] = snap_scr[:, :]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_alpha", "local", "with_dirs", "interpret"),
+    static_argnames=("k_alpha", "local", "with_dirs", "rps", "interpret"),
 )
 def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
                     gap, n, m, i0, k_alpha: int, local: bool = False,
-                    with_dirs: bool = True, interpret: bool = False):
-    """Run one 1024-row strip sweep.
+                    with_dirs: bool = True, rps: int = ROWS_PER_SLOT,
+                    interpret: bool = False):
+    """Run one (rps*1024)-row strip sweep.
 
     Args:
-      text_steps: (num_blocks, STEPS) int32 — text letter entering at each
-        step (text[t], padded arbitrarily beyond n).
+      text_steps: (num_blocks, STEPS) int32 — text[t] per step.
       bottom_in: (num_blocks, STEPS) int32 — strip's top boundary row:
-        H[i0, t+1] per step (for strip 0: -g*(t+1) / 0).
-      pattern_slots: (8, 128) int32 — pattern letters of rows i0+1..i0+1024.
+        H[i0, t+1] per step (strip 0: -g*(t+1) / 0).
+      pattern_slots: (rps, 8, 128) int32 — pattern letters; entry
+        (r, su, la) is the letter of DP row i0 + rps*(su*128+la) + r + 1.
       gap, n, m, i0: scalars.
 
     Returns (dirs, bottom_out, rowmax, argj, snap):
-      dirs: (num_blocks*STEPS/16, 8, 128) skewed words (dummy when
-        with_dirs=False);
-      bottom_out: (num_blocks, STEPS) — H[i0+1024, t-1022] at index t;
-      rowmax/argj: per-slot row maxima and first best column (local);
-      snap: (8,128) holding S[m, n] at slot m-1-i0 (global).
+      dirs: (num_blocks*STEPS/16*rps, 8, 128) skewed words — word
+        (b, r, s) at flat index b*rps + r holds steps 16b..16b+15 of
+        slot s's row r (dummy when with_dirs=False);
+      bottom_out: (num_blocks, STEPS) — strip's last row value stream;
+      rowmax/argj: (rps, 8, 128) per-row maxima / first best column;
+      snap: (8, 128) holding S[m, n] (global).
     """
     num_blocks, steps = text_steps.shape
     assert steps == STEPS
@@ -226,8 +261,10 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     ).reshape(1, 4)
     sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
-    kernel = functools.partial(_wavefront_kernel, k_alpha, local, with_dirs)
-    words_per_block = STEPS // DIR_STEPS_PER_WORD
+    kernel = functools.partial(
+        _wavefront_kernel, k_alpha, local, with_dirs, rps
+    )
+    words_per_block = (STEPS // DIR_STEPS_PER_WORD) * rps
     if with_dirs:
         dirs_shape = (num_blocks * words_per_block, SUBLANES, 128)
         dirs_spec = pl.BlockSpec(
@@ -240,7 +277,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     smem = lambda shape, idx: pl.BlockSpec(  # noqa: E731
         shape, idx, memory_space=pltpu.SMEM
     )
-    vec_spec = pl.BlockSpec((SUBLANES, 128), lambda g: (0, 0))
+    vec = lambda: pl.BlockSpec((rps, SUBLANES, 128), lambda g: (0, 0, 0))  # noqa: E731
 
     dirs, bot_out, rowmax, argj, snap = pl.pallas_call(
         kernel,
@@ -250,54 +287,67 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
             smem((k_alpha, k_alpha), lambda g: (0, 0)),
             smem((1, 1, STEPS), lambda g: (g, 0, 0)),
             smem((1, 1, STEPS), lambda g: (g, 0, 0)),
-            vec_spec,
+            vec(),
         ],
         out_specs=(
             dirs_spec,
             pl.BlockSpec(
                 (STEPS // 128, SUBLANES, 128), lambda g: (g, 0, 0)
             ),
-            vec_spec,
-            vec_spec,
-            vec_spec,
+            vec(),
+            vec(),
+            pl.BlockSpec((SUBLANES, 128), lambda g: (0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(dirs_shape, _INT),
             jax.ShapeDtypeStruct(
                 (num_blocks * (STEPS // 128), SUBLANES, 128), _INT
             ),
-            jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
-            jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
+            jax.ShapeDtypeStruct((rps, SUBLANES, 128), _INT),
+            jax.ShapeDtypeStruct((rps, SUBLANES, 128), _INT),
             jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
         ),
-        scratch_shapes=[pltpu.VMEM((SUBLANES, 128), _INT)] * 7
-        + [pltpu.VMEM((k_alpha, SUBLANES, 128), _INT)],
+        scratch_shapes=[
+            pltpu.VMEM((rps, SUBLANES, 128), _INT),   # cur
+            pltpu.VMEM((SUBLANES, 128), _INT),        # topsh
+            pltpu.VMEM((SUBLANES, 128), _INT),        # w
+            pltpu.VMEM((rps, SUBLANES, 128), _INT),   # acc
+            pltpu.VMEM((rps, SUBLANES, 128), _INT),   # aj
+            pltpu.VMEM((SUBLANES, 128), _INT),        # snap
+            pltpu.VMEM((SUBLANES, 128), _INT),        # coll
+            pltpu.VMEM((rps * k_alpha, SUBLANES, 128), _INT),  # coef
+        ],
         interpret=interpret,
     )(scal, sm, text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
       bottom_in.astype(_INT).reshape(num_blocks, 1, STEPS),
       pattern_slots.astype(_INT))
-    # Collector flush f (one per 128 steps) holds, at (sublane 7, lane l),
-    # the slot-1023 value of step f*128 + l.
     bot_flat = bot_out[:, SUBLANES - 1, :].reshape(-1)
-    return dirs, bot_flat.reshape(num_blocks, STEPS), rowmax, argj, snap
+    return (
+        dirs,
+        bot_flat.reshape(num_blocks, STEPS),
+        rowmax,
+        argj,
+        snap,
+    )
 
 
 def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
                    local: bool = False, with_dirs: bool = True,
-                   interpret: bool = False):
-    """Full single-pair fill via 1024-row wavefront strips.
+                   rps: int = ROWS_PER_SLOT, interpret: bool = False):
+    """Full single-pair fill via (rps*1024)-row wavefront strips.
 
     Returns (score, best_i, best_j, words, steps_pad) where words is the
-    host-assembled skewed direction matrix of shape
-    (num_strips, steps_pad/16, 1024) (None when with_dirs=False).
+    host-assembled skewed direction matrix, shape
+    (num_strips, steps_pad/16 * rps, 1024), or None.
     """
     text_np = np.asarray(text, dtype=np.int32)
     pattern_np = np.asarray(pattern, dtype=np.int32)
     sm = np.asarray(score_matrix, dtype=np.int32)
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
+    rows = strip_rows(rps)
 
-    num_strips = max(1, -(-m // SLOTS))
+    num_strips = max(1, -(-m // rows))
     total_steps = n + SLOTS - 1
     steps_pad = -(-total_steps // STEPS) * STEPS
     num_blocks = steps_pad // STEPS
@@ -306,7 +356,7 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     text_steps[:n] = text_np
     text_steps = text_steps.reshape(num_blocks, STEPS)
 
-    pat_pad = np.zeros(num_strips * SLOTS, dtype=np.int32)
+    pat_pad = np.zeros(num_strips * rows, dtype=np.int32)
     pat_pad[:m] = pattern_np
 
     if local:
@@ -318,49 +368,56 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     bottom = jnp.asarray(bottom.reshape(num_blocks, STEPS))
 
     words = (
-        np.empty((num_strips, steps_pad // DIR_STEPS_PER_WORD, SLOTS),
-                 dtype=np.int32)
+        np.empty(
+            (num_strips, (steps_pad // DIR_STEPS_PER_WORD) * rps, SLOTS),
+            dtype=np.int32,
+        )
         if with_dirs
         else None
     )
     rowmaxs, argjs, snaps = [], [], []
     ts_dev = jnp.asarray(text_steps)
     for c in range(num_strips):
-        i0 = c * SLOTS
+        i0 = c * rows
+        # pattern_slots[r, su, la] = pattern letter of row i0+rps*slot+r+1.
+        chunk = pat_pad[i0 : i0 + rows].reshape(SLOTS, rps)
         pat_slots = jnp.asarray(
-            pat_pad[i0 : i0 + SLOTS].reshape(SUBLANES, 128)
+            np.ascontiguousarray(chunk.T).reshape(rps, SUBLANES, 128)
         )
         dirs, bot_out, rowmax, argj, snap = wavefront_strip(
             ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
-            k_alpha=k_alpha, local=local, with_dirs=with_dirs,
+            k_alpha=k_alpha, local=local, with_dirs=with_dirs, rps=rps,
             interpret=interpret,
         )
         if with_dirs:
             w = np.asarray(jax.device_get(dirs))
             words[c] = w.reshape(w.shape[0], SLOTS)
-        rowmaxs.append(np.asarray(jax.device_get(rowmax)).reshape(-1))
-        argjs.append(np.asarray(jax.device_get(argj)).reshape(-1))
+        rowmaxs.append(np.asarray(jax.device_get(rowmax)).reshape(rps, SLOTS))
+        argjs.append(np.asarray(jax.device_get(argj)).reshape(rps, SLOTS))
         snaps.append(np.asarray(jax.device_get(snap)).reshape(-1))
         if c + 1 < num_strips:
-            # Next strip's top boundary: H[i0+1024, t+1] = bot_out[t+1023].
             flat = jnp.reshape(bot_out, (-1,))
             shifted = jnp.concatenate(
-                [
-                    flat[SLOTS - 1 :],
-                    jnp.zeros((SLOTS - 1,), _INT),
-                ]
+                [flat[SLOTS - 1 :], jnp.zeros((SLOTS - 1,), _INT)]
             )
             bottom = shifted.reshape(num_blocks, STEPS)
 
     if local:
         best, bi, bj = 0, 0, 0
         for c in range(num_strips):
-            for s in range(min(SLOTS, m - c * SLOTS)):
-                v = int(rowmaxs[c][s])
-                if v > best:
-                    best, bi, bj = v, c * SLOTS + s + 1, int(argjs[c][s])
+            rm = rowmaxs[c]  # (rps, SLOTS)
+            for s in range(SLOTS):
+                for r in range(rps):
+                    i = c * rows + rps * s + r + 1
+                    if i > m:
+                        continue
+                    v = int(rm[r, s])
+                    if v > best:
+                        best, bi, bj = v, i, int(argjs[c][r, s])
         return best, bi, bj, words, steps_pad
 
-    strip = (m - 1) // SLOTS
-    score = int(snaps[strip][(m - 1) % SLOTS])
+    # snap holds S[m, n] at the slot owning row m.
+    strip = (m - 1) // rows
+    slot_idx = ((m - 1) % rows) // rps
+    score = int(snaps[strip][slot_idx])
     return score, m, n, words, steps_pad

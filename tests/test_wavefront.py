@@ -4,23 +4,41 @@ import numpy as np
 import pytest
 
 from seqalign_tpu.native import bindings
-from seqalign_tpu.ops.wavefront import SLOTS, wavefront_fill
+from seqalign_tpu.ops.wavefront import SLOTS, strip_rows, wavefront_fill
 
 
 def _dna_sm():
     return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
 
 
+def _skew_dirs(words, steps_pad, rps, m, n):
+    """Decode the skewed word format into (m, n) direction bytes."""
+    out = np.empty((m, n), dtype=np.int32)
+    rows = strip_rows(rps)
+    for i in range(1, m + 1):
+        c = (i - 1) // rows
+        ri = (i - 1) % rows
+        s = ri // rps
+        r = ri % rps
+        t = np.arange(1, n + 1) - 1 + s
+        w = words[c, (t // 16) * rps + r, s]
+        out[i - 1] = (w >> (2 * (t % 16))) & 3
+    return out
+
+
 @pytest.mark.parametrize("local", [False, True])
-@pytest.mark.parametrize("n,m", [(300, 150), (1500, 1100)])
-def test_wavefront_matches_oracle(local, n, m):
-    rng = np.random.default_rng(n + m)
+@pytest.mark.parametrize("rps", [1, 8])
+def test_wavefront_matches_oracle(local, rps):
+    rng = np.random.default_rng(17 + rps)
     sm = _dna_sm()
+    # Cross a strip boundary for rps=1 (1024 rows/strip).
+    n, m = 1500, 1100
     text = rng.integers(0, 4, n).astype(np.int32)
     pattern = rng.integers(0, 4, m).astype(np.int32)
 
     score, bi, bj, words, steps_pad = wavefront_fill(
-        text, pattern, sm, 4, 5, local=local, with_dirs=True, interpret=True
+        text, pattern, sm, 4, 5, local=local, with_dirs=True, rps=rps,
+        interpret=True,
     )
     odirs, oscore, obest = bindings.oracle_fill(
         1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
@@ -30,19 +48,13 @@ def test_wavefront_matches_oracle(local, n, m):
     if local:
         assert (bi, bj) == (obest // (n + 1), obest % (n + 1))
 
-    # Full skewed direction matrix equality.
-    for i in range(1, m + 1):
-        c = (i - 1) // SLOTS
-        s = (i - 1) % SLOTS
-        t = np.arange(1, n + 1) - 1 + s
-        w = words[c, t // 16, s]
-        got = (w >> (2 * (t % 16))) & 3
-        np.testing.assert_array_equal(got, odirs[i, 1:])
+    np.testing.assert_array_equal(
+        _skew_dirs(words, steps_pad, rps, m, n), odirs[1:, 1:]
+    )
 
-    # Byte-identical traceback through the skewed walker.
     at, ap, st, sp = bindings.traceback_skewed(
         1 if local else 0, words, steps_pad, text, pattern, 4,
-        best_i=bi, best_j=bj,
+        best_i=bi, best_j=bj, rps=rps,
     )
     oat, oap, ost, osp, _ = bindings.oracle_align(
         1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
@@ -51,6 +63,24 @@ def test_wavefront_matches_oracle(local, n, m):
     np.testing.assert_array_equal(at, oat)
     np.testing.assert_array_equal(ap, oap)
     assert (st, sp) == (ost, osp)
+
+
+def test_wavefront_multistrip_rps8():
+    # Cross the 8192-row strip boundary at rps=8.
+    rng = np.random.default_rng(3)
+    sm = _dna_sm()
+    n, m = 9000, 8500
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+    score, bi, bj, words, steps_pad = wavefront_fill(
+        text, pattern, sm, 4, 5, local=True, with_dirs=False, rps=8,
+        interpret=True,
+    )
+    _, oscore, obest = bindings.oracle_fill(
+        1, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 5
+    )
+    assert score == oscore
+    assert (bi, bj) == (obest // (n + 1), obest % (n + 1))
 
 
 def test_wavefront_protein():
