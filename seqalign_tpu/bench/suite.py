@@ -54,37 +54,35 @@ def _blosum50():
 
 
 def _pair_fill_seconds(n, m, local, rng, sm) -> float:
-    """Device seconds for one single-pair fill (dirs included).
+    """Device seconds for one single-pair fill (dirs included), through
+    the wavefront kernel: per-strip device time x number of strips."""
+    import jax.numpy as jnp
 
-    For patterns beyond one call's row budget, falls back to wall-clock
-    timing of the tiled streaming engine (which then also includes the
-    D2H of the packed direction words, like the reference's fill-only
-    protocol, alignSequenceGPU.cu:555-626)."""
+    from ..ops import wavefront as wf
+
     text = _random_protein(rng, n)
-    pattern = _random_protein(rng, m)
-    if m > pallas_fill.MAX_CHUNK_ROWS:
-        from ..ops import tiled
-
-        def run():
-            tiled.tiled_fill(text, pattern, sm, 23, 5, local=local,
-                             with_dirs=True)
-
-        return wall_seconds(run, repeats=1)
-    profile, p_cols = pallas_fill.build_pair_profile(
-        jnp.asarray(text), jnp.asarray(sm), 23
+    steps_pad = -(-(n + wf.SLOTS - 1) // wf.STEPS) * wf.STEPS
+    nb = steps_pad // wf.STEPS
+    ts = jnp.asarray(
+        np.pad(text, (0, steps_pad - n)).reshape(nb, wf.STEPS)
     )
-    m_pad = ((m + 127) // 128) * 128
-    pat = np.zeros(m_pad, np.int32)
-    pat[:m] = pattern
-    pat = jnp.asarray(pat)
+    bot = jnp.zeros((nb, wf.STEPS), jnp.int32)
+    rps = wf.ROWS_PER_SLOT
+    pat = jnp.asarray(
+        _random_protein(rng, rps * wf.SLOTS).reshape(rps, 8, 128)
+    )
+    sm_j = jnp.asarray(sm)
 
     def call(perturb):
-        dirs, score, bi, bj = pallas_fill.pair_fill_pallas(
-            profile, pat, 5 + perturb, n, m, local=local
+        dirs, bo, rm, aj, sn = wf.wavefront_strip(
+            ts, bot, pat, sm_j, 5 + perturb, n, m, 0,
+            k_alpha=23, local=local, with_dirs=True, rps=rps,
         )
-        return score + dirs[0, 0, 0] * 0
+        return rm
 
-    return device_seconds_per_call(call, reps=NUM_REPEATS)
+    per_strip = device_seconds_per_call(call, reps=NUM_REPEATS)
+    num_strips = -(-m // (rps * wf.SLOTS))
+    return per_strip * num_strips
 
 
 def cmd_throughput(args) -> None:

@@ -36,8 +36,21 @@ def pallas_interpret() -> bool:
     return engine() == "pallas_interpret"
 
 
+def pair_engine() -> str:
+    """Single-pair fill kernel: "wavefront" (default, fastest) or
+    "strip" (prefix-max kernel).  SEQALIGN_PAIR_ENGINE overrides."""
+    forced = os.environ.get("SEQALIGN_PAIR_ENGINE", "").lower()
+    return forced if forced in ("wavefront", "strip") else "wavefront"
+
+
 # Direction-matrix HBM budget for the single-call fill path; longer pairs
 # go through the tiled streaming engine (ops/tiled.py).
 MAX_DIRS_BYTES = int(
     os.environ.get("SEQALIGN_MAX_DIRS_BYTES", 4 * 1024**3)
+)
+
+# Host-RAM budget for streamed direction words of very long single pairs
+# (the wavefront/tiled engines stream 2-bit words to host for traceback).
+MAX_HOST_DIRS_BYTES = int(
+    os.environ.get("SEQALIGN_MAX_HOST_DIRS_BYTES", 100 * 1024**3)
 )

@@ -60,7 +60,49 @@ class PairAligner:
         )
         return profile, pattern_dev, n, m
 
-    # -- pallas engine -------------------------------------------------------
+    # -- pallas engines ------------------------------------------------------
+
+    def _align_wavefront(self, text, pattern, score_matrix, alphabet_size,
+                         gap_penalty):
+        """Default TPU path: skewed-wavefront fill + skewed traceback."""
+        from ..ops import wavefront
+
+        text = np.asarray(text, dtype=np.int32)
+        pattern = np.asarray(pattern, dtype=np.int32)
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        # Host-RAM guard for the streamed direction words (2 bits/cell
+        # + pipeline skew); the reference's analog is initMemory's free-
+        # VRAM arithmetic (alignSequenceGPU.cu:372-393).
+        rows = wavefront.strip_rows()
+        steps_est = text.shape[0] + wavefront.SLOTS
+        words_bytes = (
+            -(-pattern.shape[0] // rows)
+            * (steps_est // 16 + 1) * wavefront.ROWS_PER_SLOT
+            * wavefront.SLOTS * 4
+        )
+        if words_bytes > config.MAX_HOST_DIRS_BYTES:
+            raise MemoryError(
+                f"direction words {words_bytes >> 30} GiB exceed host budget"
+            )
+        score, bi, bj, words, steps_pad = wavefront.wavefront_fill(
+            text, pattern, sm, alphabet_size, gap_penalty,
+            local=self.local, with_dirs=True,
+            interpret=config.pallas_interpret(),
+        )
+        aligned_text, aligned_pattern, start_t, start_p = (
+            bindings.traceback_skewed(
+                1 if self.local else 0, words, steps_pad, text, pattern,
+                alphabet_size, best_i=bi, best_j=bj,
+                rps=wavefront.ROWS_PER_SLOT,
+            )
+        )
+        return AlignmentResult(
+            aligned_text=aligned_text,
+            aligned_pattern=aligned_pattern,
+            start_in_aligned_text=start_t,
+            start_in_aligned_pattern=start_p,
+            score=score,
+        )
 
     def _fill_pallas(self, text, pattern, score_matrix, alphabet_size,
                      gap_penalty):
@@ -116,7 +158,11 @@ class PairAligner:
 
     def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
         if config.use_pallas():
-            return self._align_pallas(
+            if config.pair_engine() == "strip":
+                return self._align_pallas(
+                    text, pattern, score_matrix, alphabet_size, gap_penalty
+                )
+            return self._align_wavefront(
                 text, pattern, score_matrix, alphabet_size, gap_penalty
             )
         return self._align_xla(
