@@ -36,6 +36,15 @@ def pallas_interpret() -> bool:
     return engine() == "pallas_interpret"
 
 
+def traceback_mode() -> str:
+    """"host" (native C++ walk over streamed words, default) or "device"
+    (lax.while_loop walk on the accelerator; only the aligned strings
+    leave the device).  SEQALIGN_TRACEBACK overrides.  Device mode pairs
+    with the strip engine's packed word format."""
+    forced = os.environ.get("SEQALIGN_TRACEBACK", "").lower()
+    return forced if forced in ("host", "device") else "host"
+
+
 def pair_engine() -> str:
     """Single-pair fill kernel: "wavefront" (default, fastest) or
     "strip" (prefix-max kernel).  SEQALIGN_PAIR_ENGINE overrides."""

@@ -174,17 +174,29 @@ class PairAligner:
         words, score, bi, bj = self._fill_pallas(
             text, pattern, score_matrix, alphabet_size, gap_penalty
         )
-        aligned_text, aligned_pattern, start_t, start_p = (
-            bindings.traceback_packed(
-                1 if self.local else 0,
-                words,
-                text,
-                pattern,
-                alphabet_size,
-                best_i=bi,
-                best_j=bj,
+        if config.traceback_mode() == "device":
+            from ..ops.traceback import run_device_traceback
+
+            n = int(np.asarray(text).shape[0])
+            m = int(np.asarray(pattern).shape[0])
+            aligned_text, aligned_pattern, start_t, start_p = (
+                run_device_traceback(
+                    words, text, pattern, n, m, bi, bj,
+                    alphabet_size, self.local,
+                )
             )
-        )
+        else:
+            aligned_text, aligned_pattern, start_t, start_p = (
+                bindings.traceback_packed(
+                    1 if self.local else 0,
+                    words,
+                    text,
+                    pattern,
+                    alphabet_size,
+                    best_i=bi,
+                    best_j=bj,
+                )
+            )
         return AlignmentResult(
             aligned_text=aligned_text,
             aligned_pattern=aligned_pattern,

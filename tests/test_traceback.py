@@ -43,3 +43,24 @@ def test_device_traceback_matches_native(local, seed):
     np.testing.assert_array_equal(at, oat)
     np.testing.assert_array_equal(ap, oap)
     assert (st, sp) == (ost, osp)
+
+
+def test_device_traceback_mode_through_models(monkeypatch):
+    """Full align() with SEQALIGN_TRACEBACK=device (strip engine)."""
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    monkeypatch.setenv("SEQALIGN_PAIR_ENGINE", "strip")
+    monkeypatch.setenv("SEQALIGN_TRACEBACK", "device")
+    from seqalign_tpu.constants import AlignmentType, Device
+
+    from .helpers import request_from_strings, random_dna, response_tuple, run
+
+    rng = np.random.default_rng(4)
+    text = random_dna(rng, 170)
+    pattern = random_dna(rng, 90)
+    for algo in (AlignmentType.GLOBAL, AlignmentType.LOCAL):
+        request = request_from_strings(text, pattern, alignment_type=algo)
+        tpu = run(request, Device.TPU)
+        monkeypatch.delenv("SEQALIGN_ENGINE")
+        cpu = run(request, Device.CPU)
+        monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+        assert response_tuple(cpu) == response_tuple(tpu)
