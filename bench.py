@@ -24,7 +24,13 @@ import numpy as np
 
 
 def main() -> None:
+    import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache (best-effort; remote AOT may bypass)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    except Exception:
+        pass
 
     from seqalign_tpu.bench.timing import device_seconds_per_call
     from seqalign_tpu.ops.pallas_fill import batch_score_pallas

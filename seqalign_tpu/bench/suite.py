@@ -113,7 +113,7 @@ def cmd_latency(args) -> None:
 
     rng = np.random.default_rng(1)
     sm = _blosum50()
-    sizes = [(2 ** k, 2 ** k) for k in range(10, 15)]
+    sizes = [(4096, 4096), (16384, 16384)]
     print("End-to-end latency (fill + transfer + traceback), best of 3")
     print(f"{'size':>16} {'algo':>8} {'tpu ms':>10} {'cpu ms':>12}")
     for n, m in sizes:
