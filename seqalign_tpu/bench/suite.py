@@ -175,21 +175,38 @@ def cmd_batch(args) -> None:
 
 
 def cmd_maxlength(args) -> None:
-    from ..ops import tiled
+    """Max-length probe (reference benchmarkMaxLength, benchmarks.cu:335-363).
+
+    The reference's 500k x 500k demo runs under the BENCHMARK macro,
+    which skips traceback (alignSequenceGPU.cu:555-626), so the fair
+    comparison is a score-only local fill.  Engines: 'tiled' (strip
+    kernel, also the traceback engine) or 'wavefront' (fastest fill).
+    """
+    from ..ops import tiled, wavefront
 
     rng = np.random.default_rng(3)
     sm = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
     for size in args.lengths:
         text = rng.integers(0, 4, size).astype(np.int32)
         pattern = rng.integers(0, 4, size).astype(np.int32)
+        score_box = {}
 
         def run():
-            tiled.tiled_fill_score(text, pattern, sm, 4, 5, local=True)
+            if args.engine == "wavefront":
+                score, bi, bj, _, _ = wavefront.wavefront_fill(
+                    text, pattern, sm, 4, 5, local=True, with_dirs=False
+                )
+            else:
+                score = tiled.tiled_fill_score(
+                    text, pattern, sm, 4, 5, local=True
+                )
+            score_box["score"] = score
 
         sec = wall_seconds(run, repeats=1)
         print(
-            f"{size}x{size}: {sec * 1e3:.0f} ms "
-            f"({size * size / sec / 1e6:.0f} MCUPS)",
+            f"{size}x{size} ({args.engine}): {sec * 1e3:.0f} ms "
+            f"({size * size / sec / 1e6:.0f} MCUPS), "
+            f"score={score_box['score']}",
             flush=True,
         )
 
@@ -283,6 +300,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_batch)
     p = sub.add_parser("maxlength")
     p.add_argument("--lengths", nargs="*", type=int, default=[120000])
+    p.add_argument(
+        "--engine", choices=("tiled", "wavefront"), default="wavefront"
+    )
     p.set_defaults(fn=cmd_maxlength)
     args = parser.parse_args(argv)
     args.fn(args)

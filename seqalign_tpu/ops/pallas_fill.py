@@ -42,6 +42,70 @@ PAD_SCORE = -(1 << 24)
 SUBLANES = 8
 TILE_PAIRS = 1024  # pairs per grid step of the inter-pair batch kernel
 
+# Substitution scores are packed 4-per-int32 (biased by +128 into a byte
+# each), so the per-cell lookup by text letter is a ceil(K/4)-deep plane
+# select + variable byte shift instead of a (K-1)-deep select chain —
+# the dominant per-cell cost for protein alphabets (K=23).  Contract:
+# |score| <= 127 (all reference matrices are well inside this; the CPU
+# oracle has no such limit).
+SUB_BIAS = 128
+
+
+def pack_score_matrix(score_matrix, k_alpha: int) -> np.ndarray:
+    """Pack rows of a (K, K) int score matrix into (K, ceil(K/4)) int32
+    planes: plane q of row a holds biased bytes sm[a, 4q..4q+3].
+    Raises if any |score| > 127."""
+    sm = np.asarray(score_matrix)[:k_alpha, :k_alpha].astype(np.int64)
+    if np.abs(sm).max(initial=0) > 127:
+        raise ValueError(
+            "TPU engines require substitution scores in [-127, 127]; "
+            "use the CPU engine for larger magnitudes"
+        )
+    n_planes = -(-k_alpha // 4)
+    biased = np.full((k_alpha, 4 * n_planes), SUB_BIAS, dtype=np.int64)
+    biased[:, :k_alpha] = sm + SUB_BIAS
+    shifts = (np.arange(4) * 8)[None, None, :]
+    packed = (biased.reshape(k_alpha, n_planes, 4) << shifts).sum(axis=2)
+    return packed.astype(np.uint32).astype(np.int32)
+
+
+def pack_score_matrix_traced(score_matrix, k_alpha: int) -> jax.Array:
+    """pack_score_matrix with traced ops (score_matrix may be a tracer
+    under an outer jit; the value contract is then the caller's to keep)."""
+    n_planes = -(-k_alpha // 4)
+    sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
+    biased = jnp.full((k_alpha, 4 * n_planes), SUB_BIAS, _INT)
+    biased = biased.at[:, :k_alpha].set(sm + SUB_BIAS)
+    planes = biased.reshape(k_alpha, n_planes, 4)
+    return (
+        planes[:, :, 0]
+        | (planes[:, :, 1] << 8)
+        | (planes[:, :, 2] << 16)
+        | (planes[:, :, 3] << 24)
+    )
+
+
+def _use_packed_subs(k_alpha: int) -> bool:
+    """Packed lookup wins for big alphabets (protein: 2.6x on the batch
+    kernel); for k <= 4 the plain (k-1)-deep select chain is faster than
+    the variable byte shift on the VPU (measured: 115.6 vs 107.0 GCUPS
+    on the DNA batch headline)."""
+    return k_alpha > 4
+
+
+def _packed_lookup(planes: list, letter: jax.Array) -> jax.Array:
+    """Substitution score for vector ``letter`` from packed planes."""
+    n_planes = len(planes)
+    plane = planes[n_planes - 1]
+    if n_planes > 1:
+        lq = letter >> 2
+        for q in range(n_planes - 1):
+            plane = jnp.where(lq == q, planes[q], plane)
+        lsh = (letter & 3) << 3
+    else:
+        lsh = letter << 3
+    return ((plane >> lsh) & 0xFF) - SUB_BIAS
+
 
 def _prefix_max_lanes(x: jax.Array, lane: jax.Array) -> jax.Array:
     """Inclusive prefix max along lanes (axis 1) via masked doubling."""
@@ -83,15 +147,20 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 
     jax.lax.fori_loop(0, n_cols, init_col, 0)
 
+    # sm_ref columns: packed planes (big alphabets) or raw scores (k<=4).
+    n_coef = -(-k_alpha // 4) if _use_packed_subs(k_alpha) else k_alpha
+
     def row_step(i, acc):
         pat = pats_ref[i - 1]  # (8, 128) pattern letter of row i per pair
-        # Per-row substitution coefficients: coef[c] = sm[pat, c].
-        coefs = []
-        for c in range(k_alpha):
+        # Per-row substitution coefficients, selected by pattern letter:
+        # packed planes (see pack_score_matrix) or raw per-text-letter
+        # scores sm[pat, c].
+        planes = []
+        for q in range(n_coef):
             cc = zero
             for a in range(k_alpha):
-                cc = jnp.where(pat == a, sm_ref[a, c], cc)
-            coefs.append(cc)
+                cc = jnp.where(pat == a, sm_ref[a, q], cc)
+            planes.append(cc)
 
         row_live = i <= mvec
         s_i0 = zero if local else (-g * i) + zero
@@ -100,9 +169,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         def cell_step(j, carry):
             left, diag_carry, acc = carry
             text_j = texts_ref[j]
-            sub = coefs[k_alpha - 1]
-            for c in range(k_alpha - 1):
-                sub = jnp.where(text_j == c, coefs[c], sub)
+            if _use_packed_subs(k_alpha):
+                sub = _packed_lookup(planes, text_j)
+            else:
+                sub = planes[k_alpha - 1]
+                for c in range(k_alpha - 1):
+                    sub = jnp.where(text_j == c, planes[c], sub)
             prev_j = row_ref[j]
             cur = jnp.maximum(diag_carry + sub, jnp.maximum(prev_j, left) - g)
             if local:
@@ -180,7 +252,10 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
     ns_s = jnp.asarray(ns, _INT).reshape(num_tiles, 1, SUBLANES, 128)
     ms_s = jnp.asarray(ms, _INT).reshape(num_tiles, 1, SUBLANES, 128)
     gap_arr = jnp.asarray(gap, _INT).reshape(1, 1)
-    sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
+    if _use_packed_subs(k_alpha):
+        sm = pack_score_matrix_traced(score_matrix, k_alpha)
+    else:
+        sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
     kernel = functools.partial(_interpair_kernel, k_alpha, local, n, m)
     out = pl.pallas_call(
@@ -189,7 +264,8 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         in_specs=[
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (k_alpha, k_alpha), lambda t: (0, 0), memory_space=pltpu.SMEM
+                (k_alpha, sm.shape[1]), lambda t: (0, 0),
+                memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((n, SUBLANES, 128), lambda t: (t, 0, 0)),
             pl.BlockSpec((m, SUBLANES, 128), lambda t: (t, 0, 0)),

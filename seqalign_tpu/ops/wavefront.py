@@ -40,7 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_fill import NEG_INF, SUBLANES
+from .pallas_fill import (
+    NEG_INF,
+    SUB_BIAS,
+    SUBLANES,
+    pack_score_matrix,
+    pack_score_matrix_traced,
+)
 
 _INT = jnp.int32
 SLOTS = 1024           # vector slots (8 sublanes x 128 lanes)
@@ -60,6 +66,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                       coll_scr, coef_scr):
     g_blk = pl.program_id(0)
     num_blk = pl.num_programs(0)
+    n_planes = -(-k_alpha // 4)
     gap = scal_ref[0, 0]
     n = scal_ref[0, 1]
     m = scal_ref[0, 2]
@@ -104,17 +111,18 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 aj_scr[r] = jnp.zeros((SUBLANES, 128), _INT)
         else:
             snap_scr[:, :] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
-        # Substitution coefficients per in-slot row: coef[r*K + c].
+        # Packed substitution planes per in-slot row: plane (r, q) holds
+        # biased bytes sm[pat_r, 4q..4q+3] (see pack_score_matrix).
         for r in range(rps):
             pat = pat_ref[r]
-            for c in range(k_alpha):
+            for q in range(n_planes):
                 cc = jnp.zeros((SUBLANES, 128), _INT)
                 for a in range(k_alpha):
-                    cc = jnp.where(pat == a, sm_ref[a, c], cc)
-                coef_scr[r * k_alpha + c] = cc
+                    cc = jnp.where(pat == a, sm_ref[a, q], cc)
+                coef_scr[r * n_planes + q] = cc
 
     coefs = [
-        [coef_scr[r * k_alpha + c] for c in range(k_alpha)]
+        [coef_scr[r * n_planes + q] for q in range(n_planes)]
         for r in range(rps)
     ]
 
@@ -137,13 +145,19 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             nb_top = shift_slots(curs[rps - 1], bot_in_ref[0, 0, k])
             nb_diag = topsh
 
+            # Packed-lookup coordinates of text letter w (shared by all
+            # in-slot rows): plane index and byte shift.
+            wsh = (w & 3) << 3
+            wq = w >> 2 if n_planes > 1 else None
+
             new_curs = []
             top = nb_top
             diag_src = nb_diag
             for r in range(rps):
-                sub_scores = coefs[r][k_alpha - 1]
-                for c in range(k_alpha - 1):
-                    sub_scores = jnp.where(w == c, coefs[r][c], sub_scores)
+                plane = coefs[r][n_planes - 1]
+                for q in range(n_planes - 1):
+                    plane = jnp.where(wq == q, coefs[r][q], plane)
+                sub_scores = ((plane >> wsh) & 0xFF) - SUB_BIAS
                 diag = diag_src + sub_scores
                 left = curs[r]
                 gap_best = jnp.maximum(top, left) - gap
@@ -259,7 +273,11 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     scal = jnp.stack(
         [jnp.asarray(x, _INT) for x in (gap, n, m, i0)]
     ).reshape(1, 4)
-    sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
+    # Pack with traced ops (score_matrix may be a tracer under an outer
+    # jit); the |score| <= 127 contract is validated at host entry
+    # points via pack_score_matrix.
+    n_planes = -(-k_alpha // 4)
+    sm = pack_score_matrix_traced(score_matrix, k_alpha)
 
     kernel = functools.partial(
         _wavefront_kernel, k_alpha, local, with_dirs, rps
@@ -284,7 +302,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         grid=(num_blocks,),
         in_specs=[
             smem((1, 4), lambda g: (0, 0)),
-            smem((k_alpha, k_alpha), lambda g: (0, 0)),
+            smem((k_alpha, n_planes), lambda g: (0, 0)),
             smem((1, 1, STEPS), lambda g: (g, 0, 0)),
             smem((1, 1, STEPS), lambda g: (g, 0, 0)),
             vec(),
@@ -315,7 +333,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
             pltpu.VMEM((rps, SUBLANES, 128), _INT),   # aj
             pltpu.VMEM((SUBLANES, 128), _INT),        # snap
             pltpu.VMEM((SUBLANES, 128), _INT),        # coll
-            pltpu.VMEM((rps * k_alpha, SUBLANES, 128), _INT),  # coef
+            pltpu.VMEM((rps * n_planes, SUBLANES, 128), _INT),  # coef
         ],
         interpret=interpret,
     )(scal, sm, text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
@@ -343,6 +361,7 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     text_np = np.asarray(text, dtype=np.int32)
     pattern_np = np.asarray(pattern, dtype=np.int32)
     sm = np.asarray(score_matrix, dtype=np.int32)
+    pack_score_matrix(sm, k_alpha)  # validate the |score| <= 127 contract
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
     rows = strip_rows(rps)
@@ -403,18 +422,33 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
             bottom = shifted.reshape(num_blocks, STEPS)
 
     if local:
-        best, bi, bj = 0, 0, 0
-        for c in range(num_strips):
-            rm = rowmaxs[c]  # (rps, SLOTS)
-            for s in range(SLOTS):
-                for r in range(rps):
-                    i = c * rows + rps * s + r + 1
-                    if i > m:
-                        continue
-                    v = int(rm[r, s])
-                    if v > best:
-                        best, bi, bj = v, i, int(argjs[c][r, s])
-        return best, bi, bj, words, steps_pad
+        # Merge per-row maxima in DP-row order: max value, smallest row
+        # on ties (argj already holds the first column within a row) —
+        # the reference's row-major first-occurrence rule
+        # (alignSequenceCPU.cpp:191-192).  Vectorized; i is a bijection
+        # of (strip, slot, r) so the min-i tie-break is exact.
+        rm_all = np.stack(rowmaxs)    # (strips, rps, SLOTS)
+        aj_all = np.stack(argjs)
+        c_idx, r_idx, s_idx = np.meshgrid(
+            np.arange(num_strips), np.arange(rps), np.arange(SLOTS),
+            indexing="ij",
+        )
+        i_all = c_idx * rows + rps * s_idx + r_idx + 1
+        valid = i_all <= m
+        v_all = np.where(valid, rm_all, NEG_INF)
+        best = int(v_all.max(initial=NEG_INF))
+        if best <= 0:
+            return 0, 0, 0, words, steps_pad
+        ties = v_all == best
+        flat = np.where(ties.reshape(-1), i_all.reshape(-1), 1 << 62)
+        win = int(flat.argmin())
+        return (
+            best,
+            int(i_all.reshape(-1)[win]),
+            int(aj_all.reshape(-1)[win]),
+            words,
+            steps_pad,
+        )
 
     # snap holds S[m, n] at the slot owning row m.
     strip = (m - 1) // rows
