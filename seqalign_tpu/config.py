@@ -46,10 +46,15 @@ def traceback_mode() -> str:
 
 
 def pair_engine() -> str:
-    """Single-pair fill kernel: "wavefront" (default, fastest) or
-    "strip" (prefix-max kernel).  SEQALIGN_PAIR_ENGINE overrides."""
+    """Single-pair fill kernel: "wavefront" (default, fastest), "strip"
+    (prefix-max kernel) or "checkpoint" (boundary-checkpoint fill +
+    path-only traceback re-fill — O(boundary) memory; the wavefront path
+    falls back to it automatically when the streamed direction words
+    would exceed MAX_HOST_DIRS_BYTES).  SEQALIGN_PAIR_ENGINE overrides."""
     forced = os.environ.get("SEQALIGN_PAIR_ENGINE", "").lower()
-    return forced if forced in ("wavefront", "strip") else "wavefront"
+    if forced in ("wavefront", "strip", "checkpoint"):
+        return forced
+    return "wavefront"
 
 
 # Direction-matrix HBM budget for the single-call fill path; longer pairs

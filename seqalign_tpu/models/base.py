@@ -81,8 +81,11 @@ class PairAligner:
             * wavefront.SLOTS * 4
         )
         if words_bytes > config.MAX_HOST_DIRS_BYTES:
-            raise MemoryError(
-                f"direction words {words_bytes >> 30} GiB exceed host budget"
+            # Too long to stream the direction matrix: switch to the
+            # checkpointed engine (boundary checkpoints + path-only
+            # traceback re-fill, ops/checkpoint.py).
+            return self._align_checkpoint(
+                text, pattern, sm, alphabet_size, gap_penalty
             )
         score, bi, bj, words, steps_pad = wavefront.wavefront_fill(
             text, pattern, sm, alphabet_size, gap_penalty,
@@ -94,6 +97,29 @@ class PairAligner:
                 1 if self.local else 0, words, steps_pad, text, pattern,
                 alphabet_size, best_i=bi, best_j=bj,
                 rps=wavefront.ROWS_PER_SLOT,
+            )
+        )
+        return AlignmentResult(
+            aligned_text=aligned_text,
+            aligned_pattern=aligned_pattern,
+            start_in_aligned_text=start_t,
+            start_in_aligned_pattern=start_p,
+            score=score,
+        )
+
+    def _align_checkpoint(self, text, pattern, score_matrix, alphabet_size,
+                          gap_penalty):
+        """O(boundary)-memory engine for very long pairs: score-only fill
+        with tile checkpoints, then per-tile direction re-fill along the
+        optimal path only (ops/checkpoint.py)."""
+        from ..ops import checkpoint
+
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
+            checkpoint.checkpointed_align(
+                np.asarray(text, dtype=np.int32),
+                np.asarray(pattern, dtype=np.int32),
+                sm, alphabet_size, gap_penalty, local=self.local,
             )
         )
         return AlignmentResult(
@@ -158,8 +184,13 @@ class PairAligner:
 
     def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
         if config.use_pallas():
-            if config.pair_engine() == "strip":
+            engine = config.pair_engine()
+            if engine == "strip":
                 return self._align_pallas(
+                    text, pattern, score_matrix, alphabet_size, gap_penalty
+                )
+            if engine == "checkpoint":
+                return self._align_checkpoint(
                     text, pattern, score_matrix, alphabet_size, gap_penalty
                 )
             return self._align_wavefront(

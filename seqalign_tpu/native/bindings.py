@@ -64,6 +64,15 @@ def _library() -> ctypes.CDLL:
             i32p, i64, i64, i64, i64, i8p, i8p, i32,
             u8p, u8p, pi64, pi64, pi64,
         ]
+        lib.sa_walk_packed_window.restype = i64
+        lib.sa_walk_packed_window.argtypes = [
+            i32p, i64, i64, i64, i32, pi64, pi64, u8p, pi32,
+        ]
+        lib.sa_emit_moves.restype = None
+        lib.sa_emit_moves.argtypes = [
+            u8p, i64, i64, i64, i32, i8p, i8p, i32,
+            u8p, u8p, pi64, pi64, pi64,
+        ]
         _lib = lib
     return _lib
 
@@ -227,6 +236,67 @@ def traceback_skewed(
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
         )
+    k = out_len.value
+    return out_text[:k].copy(), out_pattern[:k].copy(), out_st.value, out_sp.value
+
+
+def walk_packed_window(
+    words: np.ndarray,
+    row_lo: int,
+    col_lo: int,
+    i: int,
+    j: int,
+    local: bool,
+) -> Tuple[np.ndarray, int, int, bool]:
+    """Walk packed tile directions from global cell (i, j) while it stays
+    inside the tile; see oracle.cpp sa_walk_packed_window.
+
+    ``words`` is the tile's (word_rows, tile_cols) int32 packed matrix in
+    tile-local coordinates.  Returns (moves in walk order, i, j, done).
+    """
+    lib = _library()
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    if words.ndim == 3:
+        words = words.reshape(words.shape[0], -1)
+    p_cols = words.shape[1]
+    rows = words.shape[0] * 16
+    moves = np.empty(rows + p_cols + 1, dtype=np.uint8)
+    io_i = ctypes.c_int64(i)
+    io_j = ctypes.c_int64(j)
+    done = ctypes.c_int32()
+    count = lib.sa_walk_packed_window(
+        words.reshape(-1), p_cols, row_lo, col_lo, 1 if local else 0,
+        ctypes.byref(io_i), ctypes.byref(io_j), moves, ctypes.byref(done),
+    )
+    return moves[:count].copy(), io_i.value, io_j.value, bool(done.value)
+
+
+def emit_moves(
+    moves: np.ndarray,
+    start_i: int,
+    start_j: int,
+    local: bool,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    alphabet_size: int,
+) -> Tuple[np.ndarray, np.ndarray, int, int]:
+    """Replay a move list recorded in walk (end-to-start) order into
+    aligned index arrays; see oracle.cpp sa_emit_moves.  Returns
+    (aligned_text_idx, aligned_pattern_idx, start_text, start_pattern)."""
+    lib = _library()
+    moves = np.ascontiguousarray(moves, dtype=np.uint8)
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    out_text = np.empty(max(moves.shape[0], 1), dtype=np.uint8)
+    out_pattern = np.empty(max(moves.shape[0], 1), dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    out_st = ctypes.c_int64()
+    out_sp = ctypes.c_int64()
+    lib.sa_emit_moves(
+        moves, moves.shape[0], start_i, start_j, 1 if local else 0,
+        text, pattern, alphabet_size, out_text, out_pattern,
+        ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+    )
     k = out_len.value
     return out_text[:k].copy(), out_pattern[:k].copy(), out_st.value, out_sp.value
 

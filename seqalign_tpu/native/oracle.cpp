@@ -400,4 +400,81 @@ void sa_traceback_sw_skewed(const int32_t* words, int64_t steps_pad,
   std::reverse(out_pattern, out_pattern + len);
 }
 
+// ---------------------------------------------------------------------------
+// Checkpointed-traceback support (ops/checkpoint.py): very long pairs
+// are filled score-only with tile boundary checkpoints; the traceback
+// re-fills only the tiles the optimal path crosses (directions are
+// recomputed exactly, so alignments stay byte-identical).  These two
+// helpers walk one recomputed tile and replay the accumulated move list
+// with the exact cursor semantics of the full packed walks above.
+
+// Walk packed tile directions from global cell (*io_i, *io_j) while it
+// stays inside the tile (rows row_lo+1.., columns col_lo+1..; words are
+// in tile-local coordinates with row stride p_cols).  Moves are
+// appended in walk (end-to-start) order.  Local mode stops at a STOP
+// direction or on reaching the global first row/column (the reference's
+// loop structure, alignSequenceCPU.cpp:19,44-46) and sets *out_done.
+// Returns the number of moves emitted.
+int64_t sa_walk_packed_window(const int32_t* words, int64_t p_cols,
+                              int64_t row_lo, int64_t col_lo,
+                              int32_t local, int64_t* io_i, int64_t* io_j,
+                              uint8_t* out_moves, int32_t* out_done) {
+  int64_t i = *io_i;
+  int64_t j = *io_j;
+  int64_t len = 0;
+  *out_done = 0;
+  while (i > row_lo && j > col_lo) {
+    const uint8_t dir = packed_dir(words, p_cols, i - row_lo, j - col_lo);
+    if (local && dir == kStop) {
+      *out_done = 1;
+      break;
+    }
+    out_moves[len++] = dir;
+    if (dir == kDiag || dir == kLeft) --j;
+    if (dir == kDiag || dir == kTop) --i;
+    if (local && (i == 0 || j == 0)) {
+      *out_done = 1;
+      break;
+    }
+  }
+  *io_i = i;
+  *io_j = j;
+  return len;
+}
+
+// Replay a move list recorded in walk (end-to-start) order starting at
+// cell (start_i, start_j), emitting aligned characters with the same
+// cursor/clamp semantics as sa_traceback_nw_packed / _sw_packed (for
+// global replays the forced first-row/column moves must already be in
+// the list).
+void sa_emit_moves(const uint8_t* moves, int64_t len, int64_t start_i,
+                   int64_t start_j, int32_t local, const int8_t* text,
+                   const int8_t* pattern, int32_t k, uint8_t* out_text,
+                   uint8_t* out_pattern, int64_t* out_len,
+                   int64_t* out_start_text, int64_t* out_start_pattern) {
+  int64_t i = start_i;
+  int64_t j = start_j;
+  int64_t ti = start_j - 1;
+  int64_t pi = start_i - 1;
+  for (int64_t p = 0; p < len; ++p) {
+    const uint8_t dir = moves[p];
+    emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, p);
+    if (local) {
+      if (dir == kDiag || dir == kLeft) --j;
+      if (dir == kDiag || dir == kTop) --i;
+      if (j == 0 || i == 0) break;  // final hop: cursors stay (reference)
+      if (dir == kDiag || dir == kLeft) ti = ti > 0 ? ti - 1 : 0;
+      if (dir == kDiag || dir == kTop) pi = pi > 0 ? pi - 1 : 0;
+    } else {
+      if (dir == kDiag || dir == kLeft) ti = ti > 0 ? ti - 1 : 0;
+      if (dir == kDiag || dir == kTop) pi = pi > 0 ? pi - 1 : 0;
+    }
+  }
+  *out_len = len;
+  *out_start_text = ti;
+  *out_start_pattern = pi;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+}
+
 }  // extern "C"

@@ -124,6 +124,60 @@ def run_device_traceback(words, text, pattern, n, m, best_i, best_j,
     return at, ap, int(ti), int(pi)
 
 
+@functools.partial(jax.jit, static_argnames=("local", "max_moves"))
+def device_walk_window(words, row_lo, col_lo, i0, j0, local: bool,
+                       max_moves: int):
+    """Walk packed tile directions on device while the cell stays inside
+    the tile (rows row_lo+1.., columns col_lo+1..; ``words`` is the
+    tile's packed matrix in tile-local coordinates).
+
+    Mirrors the native sa_walk_packed_window exactly; used by the
+    checkpointed long-pair engine so only the O(path) move list leaves
+    the device instead of the tile's direction words.
+
+    Returns (moves, count, i, j, done) — moves in walk (end-to-start)
+    order, padded to max_moves.
+    """
+    out0 = jnp.zeros((max_moves,), jnp.int32)
+    row_lo = jnp.asarray(row_lo, _INT)
+    col_lo = jnp.asarray(col_lo, _INT)
+
+    def cond(state):
+        i, j, k, done, out = state
+        return jnp.logical_and(
+            jnp.logical_not(done),
+            jnp.logical_and(i > row_lo, j > col_lo),
+        )
+
+    def body(state):
+        i, j, k, done, out = state
+        d = _read_dir(words, i - row_lo, j - col_lo)
+        stop = (d == _STOP) if local else jnp.asarray(False)
+        emit = jnp.logical_not(stop)
+        out = jnp.where(emit, out.at[k].set(d), out)
+        k = k + jnp.where(emit, 1, 0)
+        take_t = jnp.logical_and(
+            emit, jnp.logical_or(d == _DIAG, d == _LEFT)
+        )
+        take_p = jnp.logical_and(
+            emit, jnp.logical_or(d == _DIAG, d == _TOP)
+        )
+        i2 = i - take_p.astype(_INT)
+        j2 = j - take_t.astype(_INT)
+        if local:
+            done = jnp.logical_or(
+                stop, jnp.logical_or(i2 == 0, j2 == 0)
+            )
+        return (i2, j2, k, done, out)
+
+    i, j, k, done, out = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(i0, _INT), jnp.asarray(j0, _INT),
+         jnp.asarray(0, _INT), jnp.asarray(False), out0),
+    )
+    return out, k, i, j, done
+
+
 def pack_words(dirs_bytes: np.ndarray) -> np.ndarray:
     """Pack a (rows, cols) byte direction matrix (incl. the row-0/col-0
     borders) into the kernel word format — testing helper."""

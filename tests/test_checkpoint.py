@@ -1,0 +1,105 @@
+"""Checkpointed long-pair engine tests (interpreter mode, tiny tiles to
+force multi-tile traceback paths)."""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.native import bindings
+from seqalign_tpu.ops import checkpoint
+
+
+def _dna_sm():
+    return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_checkpointed_matches_oracle_multitile(local):
+    rng = np.random.default_rng(11)
+    sm = _dna_sm()
+    n, m = 2500, 300  # 3 column strips x 3 row blocks of tiles
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+
+    score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
+        text, pattern, sm, 4, 5, local=local,
+        strip_cols=1024, block_rows=128,
+    )
+    oat, oap, ost, osp, oscore = bindings.oracle_align(
+        1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
+        sm, 4, 5,
+    )
+    assert score == oscore
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
+
+
+@pytest.mark.parametrize("gap", [1, 5])
+def test_checkpointed_protein_global(gap):
+    # Protein alphabet exercises the packed-plane substitution path and
+    # a non-uniform matrix inside the recomputed tiles.
+    from seqalign_tpu import constants
+    from seqalign_tpu.io import parse_score_matrix_file
+
+    sm_full = np.zeros((24, 24), dtype=np.int32)
+    parse_score_matrix_file(
+        constants.DEFAULT_PROTEIN_SCORE_MATRIX_FILE, 23, sm_full
+    )
+    sm = sm_full[:23, :23]
+    rng = np.random.default_rng(12)
+    n, m = 1300, 400
+    text = rng.integers(0, 23, n).astype(np.int32)
+    pattern = rng.integers(0, 23, m).astype(np.int32)
+
+    score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
+        text, pattern, sm, 23, gap, local=False,
+        strip_cols=1024, block_rows=256,
+    )
+    oat, oap, ost, osp, oscore = bindings.oracle_align(
+        0, text.astype(np.int8), pattern.astype(np.int8), sm, 23, gap
+    )
+    assert score == oscore
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
+
+
+@pytest.mark.parametrize("algo", ["--global", "--local"])
+def test_checkpoint_engine_through_api(algo, monkeypatch):
+    # Full Request->Response path with the checkpoint engine forced; the
+    # response must be byte-identical to the CPU oracle engine.
+    from seqalign_tpu.constants import Device
+
+    from .helpers import request_from_argv, response_tuple, run
+
+    monkeypatch.setenv("SEQALIGN_PAIR_ENGINE", "checkpoint")
+    request = request_from_argv(
+        "--gap-penalty", "5", algo,
+        "data/dna/dna_01.txt", "data/dna/dna_02.txt",
+    )
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
+
+
+def test_checkpointed_sw_no_match():
+    # All-mismatch local alignment: best score 0, empty alignment, the
+    # reference's (-1, -1) start sentinel.
+    sm = np.full((4, 4), -4, dtype=np.int32)
+    text = np.zeros(1100, dtype=np.int32)
+    pattern = np.ones(150, dtype=np.int32)
+    score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
+        text, pattern, sm, 4, 5, local=True,
+        strip_cols=1024, block_rows=128,
+    )
+    oat, oap, ost, osp, oscore = bindings.oracle_align(
+        1, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 5
+    )
+    assert score == oscore == 0
+    assert at.shape[0] == oat.shape[0] == 0
+    assert (st, sp) == (ost, osp)
