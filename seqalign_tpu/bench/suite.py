@@ -74,7 +74,7 @@ def _pair_fill_seconds(n, m, local, rng, sm) -> float:
     sm_j = jnp.asarray(sm)
 
     def call(perturb):
-        dirs, bo, rm, aj, sn = wf.wavefront_strip(
+        dirs, bo, rm, aj, sn, _ = wf.wavefront_strip(
             ts, bot, pat, sm_j, 5 + perturb, n, m, 0,
             k_alpha=23, local=local, with_dirs=True, rps=rps,
         )
@@ -273,7 +273,7 @@ def cmd_engines(args) -> None:
     pslots = jnp.asarray(pat2[: wavefront.SLOTS].reshape(8, 128))
 
     def wave_call(perturb):
-        dirs, bo, rm, aj, sn = wavefront.wavefront_strip(
+        dirs, bo, rm, aj, sn, _ = wavefront.wavefront_strip(
             ts, bot, pslots, jnp.asarray(sm_np), 5 + perturb, n, m, 0,
             k_alpha=4, local=True, with_dirs=True,
         )

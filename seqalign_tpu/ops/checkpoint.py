@@ -4,19 +4,27 @@ traceback re-fill.
 The reference's long-sequence traceback needs the FULL direction matrix
 in pinned host RAM (alignSequenceGPU.cu:410-418, 588-648) — 250 GB at
 its 500k x 500k demo scale, which is why that demo runs fill-only under
-the BENCHMARK macro.  Here the fill keeps only each tile's boundary row
-and boundary column in HBM (O((n*m)/tile_rows) — ~100 MB at 500k^2) and
-the traceback re-fills direction words for just the O(n/strip_cols +
-m/block_rows) tiles the optimal path crosses, walking each tile on
-device so only the O(n+m) move list ever crosses the host link.
-Directions are recomputed bit-exactly by the same strip kernel, so
-alignments stay byte-identical to the CPU oracle — a capability the
-reference never demonstrates at this scale.
+the BENCHMARK macro.  Here:
 
-This is the rematerialization idea (trade re-compute for memory) applied
-to DP traceback; it replaces both the reference's pinned-host-matrix
-design and the O(2x-fill) Hirschberg alternative (which could not honor
-the reference's exact tie policy without carrying extra state).
+* Phase 1 runs the score-only wavefront kernel (the fastest fill) with
+  two extra boundary outputs kept in HBM: each strip's bottom DP row
+  (the existing inter-strip stream) and column checkpoints every
+  ``ckpt_cols`` columns (captured in-kernel as each vector slot's sweep
+  crosses a checkpoint column).  Total checkpoint memory is
+  O(n*m / tile) — ~250 MB at 500k^2 — instead of O(n*m).
+* Phase 2 re-fills direction words for just the O(n/ckpt_cols +
+  m/strip_rows) tiles the optimal path crosses (strip kernel, seeded
+  from the saved boundaries) and walks each tile on device, so only the
+  O(n+m) move list ever crosses the host link.
+
+Directions are recomputed bit-exactly by kernels already validated
+against the oracle, so alignments stay byte-identical to the CPU
+reference — a capability the reference never demonstrates at this
+scale.  This is the rematerialization idea (trade re-compute for
+memory) applied to DP traceback; it replaces both the reference's
+pinned-host-matrix design and the O(2x-fill) Hirschberg alternative
+(which could not honor the reference's exact tie policy without
+carrying extra state).
 """
 
 from __future__ import annotations
@@ -29,48 +37,46 @@ import numpy as np
 
 from .. import config
 from ..native import bindings
-from . import pallas_fill
-from .pallas_fill import ROWS_PER_STEP, SUBLANES
-from .tiled import DEFAULT_STRIP_COLS, _strip_profile
+from . import pallas_fill, wavefront
+from .pallas_fill import SUBLANES
+from .tiled import _strip_profile
 from .traceback import device_walk_window
 
 _INT = jnp.int32
 _LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
 
-# Row-block (= tile height) granularity of the checkpoints; also the
-# per-call chunk size of the fill (SMEM-capped by MAX_CHUNK_ROWS).
-DEFAULT_CKPT_ROWS = pallas_fill.MAX_CHUNK_ROWS
+DEFAULT_CKPT_COLS = 32768  # column-checkpoint spacing (= re-fill tile width)
 
 
 @dataclasses.dataclass
 class CheckpointedFill:
-    """Score + boundary checkpoints of a tiled score-only fill.
+    """Score + boundary checkpoints of a wavefront score-only fill.
 
-    left_cols[c]: (m_pad+1,) device — S[i, c*strip_cols] for i=0..m_pad.
-    top_rows[c][b]: (8, L) device — DP row b*block_rows of strip c.
+    colvals[b]: (num_ckpts, rows) device — S[i, (q+1)*ckpt_cols] for the
+      rows of wavefront strip b (row i = b*rows + ri + 1 at index ri).
+    boundaries[b]: (steps_pad,) device — S[(b+1)*rows, j] at index j-1.
     """
 
     score: int
     best_i: int
     best_j: int
-    left_cols: list
-    top_rows: list
+    colvals: list
+    boundaries: list
     n: int
     m: int
-    m_pad: int
-    strip_cols: int
-    block_rows: int
+    rows: int       # wavefront strip height = re-fill tile height
+    rps: int
+    ckpt_cols: int  # re-fill tile width
     gap: int
     local: bool
 
 
 def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
                       local: bool = False,
-                      strip_cols: int = DEFAULT_STRIP_COLS,
-                      block_rows: int = DEFAULT_CKPT_ROWS) -> CheckpointedFill:
-    """Score-only strip fill that keeps tile boundary checkpoints on
-    device (the fill loop mirrors tiled.tiled_fill, minus the direction
-    stream)."""
+                      ckpt_cols: int = DEFAULT_CKPT_COLS,
+                      rps: int = wavefront.ROWS_PER_SLOT) -> CheckpointedFill:
+    """Score-only wavefront fill keeping tile boundary checkpoints on
+    device (the strip loop mirrors wavefront.wavefront_fill)."""
     text_np = np.asarray(text, dtype=np.int32)
     pattern_np = np.asarray(pattern, dtype=np.int32)
     sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
@@ -79,95 +85,134 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
     interpret = config.pallas_interpret()
+    rows = wavefront.strip_rows(rps)
 
-    m_pad = max(ROWS_PER_STEP, -(-m // ROWS_PER_STEP) * ROWS_PER_STEP)
-    block_rows = min(
-        m_pad,
-        pallas_fill.MAX_CHUNK_ROWS,
-        max(ROWS_PER_STEP, (block_rows // ROWS_PER_STEP) * ROWS_PER_STEP),
-    )
-    num_strips = max(1, -(-n // strip_cols))
-    l = strip_cols // SUBLANES
+    num_strips = max(1, -(-m // rows))
+    total_steps = n + wavefront.SLOTS - 1
+    steps_pad = -(-total_steps // wavefront.STEPS) * wavefront.STEPS
+    num_blocks = steps_pad // wavefront.STEPS
 
-    pat_pad = np.zeros(m_pad, dtype=np.int32)
+    text_steps = np.zeros(steps_pad, dtype=np.int32)
+    text_steps[:n] = text_np
+    ts_dev = jnp.asarray(text_steps.reshape(num_blocks, wavefront.STEPS))
+
+    pat_pad = np.zeros(num_strips * rows, dtype=np.int32)
     pat_pad[:m] = pattern_np
-    pat_dev = jnp.asarray(pat_pad)
 
-    left_col = jnp.asarray(pallas_fill.nw_boundary_col(0, m_pad, gap, local))
-    left_cols, top_rows, strip_states = [], [], []
-
-    for c in range(num_strips):
-        strip_off = c * strip_cols
-        profile = _strip_profile(text_np, sm, k_alpha, strip_off,
-                                 strip_cols, n)
-        prev_row = jnp.asarray(
-            pallas_fill.init_prev_row(l, strip_off, gap, local)
-        )
-        state = jnp.asarray(pallas_fill._zeros_state(local))
-        top_val = 0 if local else -gap * (strip_off + strip_cols)
-        rcol_parts = [jnp.full((1,), top_val, _INT)]
-        left_cols.append(left_col)
-        strip_tops = []
-
-        for row_base in range(0, m_pad, block_rows):
-            rows_here = min(block_rows, m_pad - row_base)
-            strip_tops.append(prev_row)
-            _, prev_row, rcol, state = pallas_fill.strip_fill_pallas(
-                profile,
-                pat_dev[row_base : row_base + rows_here],
-                gap, n, m, row_base, strip_off,
-                left_col[row_base : row_base + rows_here + 1],
-                prev_row, state,
-                local=local, with_dirs=False, interpret=interpret,
-            )
-            rcol_parts.append(rcol)
-
-        top_rows.append(strip_tops)
-        strip_states.append(np.asarray(jax.device_get(state))[0])
-        if c + 1 < num_strips:
-            left_col = jnp.concatenate(rcol_parts)
-
-    # Merge per-strip states (same rules as tiled.tiled_fill).
     if local:
-        best, bi, bj = 0, 0, 0
-        for s_best, s_bi, s_bj, _ in strip_states:
-            s_best, s_bi, s_bj = int(s_best), int(s_bi), int(s_bj)
-            if s_best > best or (s_best == best and s_best > 0
-                                 and (s_bi, s_bj) < (bi, bj)):
-                best, bi, bj = s_best, s_bi, s_bj
-        score = best
+        bottom = jnp.zeros((num_blocks, wavefront.STEPS), _INT)
     else:
-        score = max(int(s[3]) for s in strip_states)
+        bottom = jnp.asarray(
+            (-gap * (np.arange(steps_pad, dtype=np.int64) + 1))
+            .astype(np.int32)
+            .reshape(num_blocks, wavefront.STEPS)
+        )
+
+    colvals, boundaries, rowmaxs, argjs, snaps = [], [], [], [], []
+    for b in range(num_strips):
+        i0 = b * rows
+        chunk = pat_pad[i0 : i0 + rows].reshape(wavefront.SLOTS, rps)
+        pat_slots = jnp.asarray(
+            np.ascontiguousarray(chunk.T).reshape(rps, SUBLANES, 128)
+        )
+        _, bot_out, rowmax, argj, snap, ckpts = wavefront.wavefront_strip(
+            ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
+            k_alpha=k_alpha, local=local, with_dirs=False, rps=rps,
+            ckpt_every=ckpt_cols, interpret=interpret,
+        )
+        # (num_ckpts*rps, 8, 128) -> (num_ckpts, rows) with row index
+        # ri = rps*slot + r.
+        num_ckpts = ckpts.shape[0] // rps
+        colvals.append(
+            ckpts.reshape(num_ckpts, rps, wavefront.SLOTS)
+            .transpose(0, 2, 1)
+            .reshape(num_ckpts, rows)
+        )
+        rowmaxs.append(np.asarray(jax.device_get(rowmax)).reshape(rps, -1))
+        argjs.append(np.asarray(jax.device_get(argj)).reshape(rps, -1))
+        snaps.append(np.asarray(jax.device_get(snap)).reshape(-1))
+        # Bottom boundary row: value S[i0+rows, j] at flat index j-1,
+        # padded so phase-2 tile slices up to ceil(n/ckpt_cols)*ckpt_cols
+        # stay in bounds (pad values feed only j > n cells, never read).
+        flat = jnp.reshape(bot_out, (-1,))
+        shifted = jnp.concatenate(
+            [flat[wavefront.SLOTS - 1 :],
+             jnp.zeros((wavefront.SLOTS - 1,), _INT)]
+        )
+        pad = -(-steps_pad // ckpt_cols) * ckpt_cols - steps_pad
+        boundaries.append(
+            jnp.concatenate([shifted, jnp.zeros((pad,), _INT)])
+            if pad
+            else shifted
+        )
+        if b + 1 < num_strips:
+            bottom = shifted.reshape(num_blocks, wavefront.STEPS)
+
+    if local:
+        score, bi, bj = wavefront.merge_local_best(
+            rowmaxs, argjs, rows, rps, m
+        )
+    else:
+        strip = (m - 1) // rows
+        slot_idx = ((m - 1) % rows) // rps
+        score = int(snaps[strip][slot_idx])
         bi, bj = m, n
     return CheckpointedFill(
         score=score, best_i=bi, best_j=bj,
-        left_cols=left_cols, top_rows=top_rows,
-        n=n, m=m, m_pad=m_pad, strip_cols=strip_cols,
-        block_rows=block_rows, gap=gap, local=local,
+        colvals=colvals, boundaries=boundaries,
+        n=n, m=m, rows=rows, rps=rps, ckpt_cols=ckpt_cols,
+        gap=gap, local=local,
     )
 
 
-def _refill_tile(ck: CheckpointedFill, text_np, sm, k_alpha: int,
-                 c: int, b: int, profile_cache: dict):
-    """Recompute one tile's packed direction words (device array)."""
-    strip_off = c * ck.strip_cols
-    row_base = b * ck.block_rows
-    rows_here = min(ck.block_rows, ck.m_pad - row_base)
-    if c not in profile_cache:
-        profile_cache[c] = _strip_profile(
-            text_np, sm, k_alpha, strip_off, ck.strip_cols, ck.n
+def _refill_tile(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
+                 cache: dict):
+    """Recompute tile (column strip c, row block b)'s packed direction
+    words from the saved boundaries (device array, tile-local layout)."""
+    strip_off = c * ck.ckpt_cols
+    row_base = b * ck.rows
+    if ("prof", c) not in cache:
+        cache[("prof", c)] = _strip_profile(
+            cache["text"], sm, k_alpha, strip_off, ck.ckpt_cols, ck.n
         )
+    l = ck.ckpt_cols // SUBLANES
+    gap_t = jnp.asarray(ck.gap, _INT)
+
+    # Left boundary column S[row_base + r, strip_off], r = 0..rows.
+    if c == 0:
+        lc = jnp.asarray(
+            pallas_fill.nw_boundary_col(row_base, ck.rows, ck.gap, ck.local)
+        )
+    else:
+        body = ck.colvals[b][c - 1]
+        if b == 0:
+            corner_val = 0 if ck.local else -ck.gap * strip_off
+            corner = jnp.full((1,), corner_val, _INT)
+        else:
+            corner = ck.boundaries[b - 1][strip_off - 1 : strip_off]
+        lc = jnp.concatenate([corner, body])
+
+    # Top boundary row S[row_base, strip_off+1 .. strip_off+ckpt_cols]
+    # in the strip kernel's (8, L) segmented layout.
+    if b == 0:
+        prev_row = jnp.asarray(
+            pallas_fill.init_prev_row(l, strip_off, ck.gap, ck.local)
+        )
+    else:
+        prev_row = ck.boundaries[b - 1][
+            strip_off : strip_off + ck.ckpt_cols
+        ].reshape(SUBLANES, l)
+
     dirs, _, _, _ = pallas_fill.strip_fill_pallas(
-        profile_cache[c],
-        profile_cache["pattern"][row_base : row_base + rows_here],
-        ck.gap, ck.n, ck.m, row_base, strip_off,
-        ck.left_cols[c][row_base : row_base + rows_here + 1],
-        ck.top_rows[c][b],
+        cache[("prof", c)],
+        cache["pattern"][row_base : row_base + ck.rows],
+        gap_t, ck.n, ck.m, row_base, strip_off,
+        lc, prev_row,
         jnp.asarray(pallas_fill._zeros_state(ck.local)),
         local=ck.local, with_dirs=True,
         interpret=config.pallas_interpret(),
     )
-    return dirs.reshape(dirs.shape[0], ck.strip_cols)
+    return dirs.reshape(dirs.shape[0], ck.ckpt_cols)
 
 
 def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
@@ -182,9 +227,10 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
         : k_alpha * k_alpha
     ].reshape(k_alpha, k_alpha)
-    pat_pad = np.zeros(ck.m_pad, dtype=np.int32)
+    m_pad = len(ck.colvals) * ck.rows
+    pat_pad = np.zeros(m_pad, dtype=np.int32)
     pat_pad[: ck.m] = pattern_np
-    profile_cache = {"pattern": jnp.asarray(pat_pad)}
+    cache = {"text": text_np, "pattern": jnp.asarray(pat_pad)}
 
     local = ck.local
     if local:
@@ -193,7 +239,7 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     else:
         i, j = ck.m, ck.n
         done = False
-    max_moves = ck.block_rows + ck.strip_cols + 1
+    max_moves = ck.rows + ck.ckpt_cols + 1
     use_device_walk = (
         config.use_pallas() and not config.pallas_interpret()
     )
@@ -209,10 +255,10 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             elif i == 0 and j > 0:
                 moves_parts.append(np.full(j, _LEFT, np.uint8))
             break
-        c = (j - 1) // ck.strip_cols
-        b = (i - 1) // ck.block_rows
-        words = _refill_tile(ck, text_np, sm, k_alpha, c, b, profile_cache)
-        row_lo, col_lo = b * ck.block_rows, c * ck.strip_cols
+        c = (j - 1) // ck.ckpt_cols
+        b = (i - 1) // ck.rows
+        words = _refill_tile(ck, sm, k_alpha, c, b, cache)
+        row_lo, col_lo = b * ck.rows, c * ck.ckpt_cols
         if use_device_walk:
             out, k, i_d, j_d, done_d = device_walk_window(
                 words, row_lo, col_lo, i, j, local, max_moves
@@ -243,8 +289,8 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
 
 def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
                        local: bool = False,
-                       strip_cols: int = DEFAULT_STRIP_COLS,
-                       block_rows: int = DEFAULT_CKPT_ROWS):
+                       ckpt_cols: int = DEFAULT_CKPT_COLS,
+                       rps: int = wavefront.ROWS_PER_SLOT):
     """Full alignment of an arbitrarily long pair in O(boundary) memory.
 
     Returns (score, best_i, best_j, aligned_text_idx, aligned_pattern_idx,
@@ -252,7 +298,7 @@ def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
     """
     ck = checkpointed_fill(
         text, pattern, score_matrix, k_alpha, gap,
-        local=local, strip_cols=strip_cols, block_rows=block_rows,
+        local=local, ckpt_cols=ckpt_cols, rps=rps,
     )
     at, ap, st, sp = checkpointed_traceback(
         ck, text, pattern, score_matrix, k_alpha

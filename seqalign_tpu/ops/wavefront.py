@@ -60,10 +60,12 @@ def strip_rows(r: int = ROWS_PER_SLOT) -> int:
 
 
 def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
+                      ckpt_every: int,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
                       dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref,
+                      ckpt_ref,
                       cur_scr, topsh_scr, w_scr, acc_scr, aj_scr, snap_scr,
-                      coll_scr, coef_scr):
+                      coll_scr, coef_scr, ckpt_scr):
     g_blk = pl.program_id(0)
     num_blk = pl.num_programs(0)
     n_planes = -(-k_alpha // 4)
@@ -111,6 +113,9 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 aj_scr[r] = jnp.zeros((SUBLANES, 128), _INT)
         else:
             snap_scr[:, :] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
+        if ckpt_every:
+            for r in range(rps):
+                ckpt_scr[r] = jnp.zeros((SUBLANES, 128), _INT)
         # Packed substitution planes per in-slot row: plane (r, q) holds
         # biased bytes sm[pat_r, 4q..4q+3] (see pack_score_matrix).
         for r in range(rps):
@@ -130,15 +135,22 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     acc0 = [acc_scr[r] for r in range(rps)] if local else []
     aj0 = [aj_scr[r] for r in range(rps)] if local else []
     snap0 = snap_scr[:, :]
+    cks0 = [ckpt_scr[r] for r in range(rps)] if ckpt_every else []
 
     def word_fn(k16, carry):
-        curs, topsh, w, coll, accs, ajs, snap = carry
+        curs, topsh, w, coll, accs, ajs, snap, cks = carry
         words = [jnp.zeros((SUBLANES, 128), _INT)] * rps
         for u in range(unroll):
             k = k16 * unroll + u
             t = g_blk * STEPS + k
             jvec = t - slot + 1
             started = jvec >= 1
+            if ckpt_every:
+                # Column-checkpoint capture: slot s passes checkpoint
+                # column q*ckpt_every at step t = q*ckpt_every + s - 1.
+                cmask = jnp.logical_and(
+                    started, (jvec & (ckpt_every - 1)) == 0
+                )
 
             w = shift_slots(w, text_ref[0, 0, k])
             # Neighbor's last row at this column / previous column.
@@ -177,6 +189,9 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                         d = jnp.where(best > 0, d, 3)
                     words[r] = d if u == 0 else words[r] | (d << (2 * u))
 
+                if ckpt_every:
+                    cks[r] = jnp.where(cmask, cur_next, cks[r])
+
                 if local:
                     valid = jnp.logical_and(
                         started,
@@ -212,13 +227,32 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
         def _flush_bottom():
             bot_out_ref[(k16 * unroll) // 128] = coll
 
-        return curs, topsh, w, coll, accs, ajs, snap
+        if ckpt_every:
+            # Column q*ckpt_every is fully captured once slot 1023 has
+            # passed it (step q*ckpt_every + SLOTS - 2); flush at the end
+            # of the word group containing that step.  Safe because the
+            # next checkpoint's capture window starts > ckpt_every - 1045
+            # steps later (ckpt_every >= 2048 enforced by the wrapper).
+            t_last = g_blk * STEPS + k16 * unroll + (unroll - 1)
+            rel = t_last - (SLOTS - 2)
+
+            @pl.when(
+                jnp.logical_and(
+                    rel >= ckpt_every, rel % ckpt_every < unroll
+                )
+            )
+            def _flush_ckpt():
+                idx = rel // ckpt_every - 1
+                for r in range(rps):
+                    ckpt_ref[idx * rps + r] = cks[r]
+
+        return curs, topsh, w, coll, accs, ajs, snap, cks
 
     curs0 = [cur_scr[r] for r in range(rps)]
-    curs, topsh, w, _, accs, ajs, snap = jax.lax.fori_loop(
+    curs, topsh, w, _, accs, ajs, snap, cks = jax.lax.fori_loop(
         0, STEPS // unroll, word_fn,
         (curs0, topsh_scr[:, :], w_scr[:, :], coll_scr[:, :],
-         acc0, aj0, snap0),
+         acc0, aj0, snap0, cks0),
     )
     for r in range(rps):
         cur_scr[r] = curs[r]
@@ -230,6 +264,9 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             aj_scr[r] = ajs[r]
     else:
         snap_scr[:, :] = snap
+    if ckpt_every:
+        for r in range(rps):
+            ckpt_scr[r] = cks[r]
 
     @pl.when(g_blk == num_blk - 1)
     def _finish():
@@ -243,12 +280,14 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_alpha", "local", "with_dirs", "rps", "interpret"),
+    static_argnames=(
+        "k_alpha", "local", "with_dirs", "rps", "ckpt_every", "interpret"
+    ),
 )
 def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
                     gap, n, m, i0, k_alpha: int, local: bool = False,
                     with_dirs: bool = True, rps: int = ROWS_PER_SLOT,
-                    interpret: bool = False):
+                    ckpt_every: int = 0, interpret: bool = False):
     """Run one (rps*1024)-row strip sweep.
 
     Args:
@@ -259,16 +298,23 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         (r, su, la) is the letter of DP row i0 + rps*(su*128+la) + r + 1.
       gap, n, m, i0: scalars.
 
-    Returns (dirs, bottom_out, rowmax, argj, snap):
+    Returns (dirs, bottom_out, rowmax, argj, snap, ckpts):
       dirs: (num_blocks*STEPS/16*rps, 8, 128) skewed words — word
         (b, r, s) at flat index b*rps + r holds steps 16b..16b+15 of
         slot s's row r (dummy when with_dirs=False);
       bottom_out: (num_blocks, STEPS) — strip's last row value stream;
       rowmax/argj: (rps, 8, 128) per-row maxima / first best column;
-      snap: (8, 128) holding S[m, n] (global).
+      snap: (8, 128) holding S[m, n] (global);
+      ckpts: (num_ckpts*rps, 8, 128) column checkpoints when
+        ckpt_every > 0 (power of two, >= 2048): entry (q*rps + r, su, la)
+        holds S[i0 + rps*(su*128+la) + r + 1, (q+1)*ckpt_every] — used by
+        the checkpointed long-pair engine (dummy (1, 8, 128) otherwise).
     """
     num_blocks, steps = text_steps.shape
     assert steps == STEPS
+    assert ckpt_every == 0 or (
+        ckpt_every >= 2048 and (ckpt_every & (ckpt_every - 1)) == 0
+    ), "ckpt_every must be a power of two >= 2048"
 
     scal = jnp.stack(
         [jnp.asarray(x, _INT) for x in (gap, n, m, i0)]
@@ -280,8 +326,15 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     sm = pack_score_matrix_traced(score_matrix, k_alpha)
 
     kernel = functools.partial(
-        _wavefront_kernel, k_alpha, local, with_dirs, rps
+        _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every
     )
+    if ckpt_every:
+        num_ckpts = max(1, (num_blocks * STEPS) // ckpt_every)
+        ckpt_rows = num_ckpts * rps
+        ckpt_scr_rows = rps
+    else:
+        ckpt_rows = 1
+        ckpt_scr_rows = 1
     words_per_block = (STEPS // DIR_STEPS_PER_WORD) * rps
     if with_dirs:
         dirs_shape = (num_blocks * words_per_block, SUBLANES, 128)
@@ -297,7 +350,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     )
     vec = lambda: pl.BlockSpec((rps, SUBLANES, 128), lambda g: (0, 0, 0))  # noqa: E731
 
-    dirs, bot_out, rowmax, argj, snap = pl.pallas_call(
+    dirs, bot_out, rowmax, argj, snap, ckpts = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=[
@@ -315,6 +368,9 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
             vec(),
             vec(),
             pl.BlockSpec((SUBLANES, 128), lambda g: (0, 0)),
+            pl.BlockSpec(
+                (ckpt_rows, SUBLANES, 128), lambda g: (0, 0, 0)
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(dirs_shape, _INT),
@@ -324,6 +380,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
             jax.ShapeDtypeStruct((rps, SUBLANES, 128), _INT),
             jax.ShapeDtypeStruct((rps, SUBLANES, 128), _INT),
             jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
+            jax.ShapeDtypeStruct((ckpt_rows, SUBLANES, 128), _INT),
         ),
         scratch_shapes=[
             pltpu.VMEM((rps, SUBLANES, 128), _INT),   # cur
@@ -334,6 +391,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
             pltpu.VMEM((SUBLANES, 128), _INT),        # snap
             pltpu.VMEM((SUBLANES, 128), _INT),        # coll
             pltpu.VMEM((rps * n_planes, SUBLANES, 128), _INT),  # coef
+            pltpu.VMEM((ckpt_scr_rows, SUBLANES, 128), _INT),   # ckpt
         ],
         interpret=interpret,
     )(scal, sm, text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
@@ -346,7 +404,37 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         rowmax,
         argj,
         snap,
+        ckpts,
     )
+
+
+def merge_local_best(rowmaxs, argjs, rows: int, rps: int, m: int):
+    """Merge per-row SW maxima in DP-row order: max value, smallest row
+    on ties (argj already holds the first column within a row) — the
+    reference's row-major first-occurrence rule
+    (alignSequenceCPU.cpp:191-192).  Vectorized; i is a bijection of
+    (strip, slot, r) so the min-i tie-break is exact.
+
+    rowmaxs/argjs: lists of (rps, SLOTS) np arrays, one per strip.
+    Returns (best, best_i, best_j) with the reference's 0/0/0 floor.
+    """
+    num_strips = len(rowmaxs)
+    rm_all = np.stack(rowmaxs)    # (strips, rps, SLOTS)
+    aj_all = np.stack(argjs)
+    c_idx, r_idx, s_idx = np.meshgrid(
+        np.arange(num_strips), np.arange(rps), np.arange(SLOTS),
+        indexing="ij",
+    )
+    i_all = c_idx * rows + rps * s_idx + r_idx + 1
+    valid = i_all <= m
+    v_all = np.where(valid, rm_all, NEG_INF)
+    best = int(v_all.max(initial=NEG_INF))
+    if best <= 0:
+        return 0, 0, 0
+    ties = v_all == best
+    flat = np.where(ties.reshape(-1), i_all.reshape(-1), 1 << 62)
+    win = int(flat.argmin())
+    return best, int(i_all.reshape(-1)[win]), int(aj_all.reshape(-1)[win])
 
 
 def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
@@ -403,7 +491,7 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         pat_slots = jnp.asarray(
             np.ascontiguousarray(chunk.T).reshape(rps, SUBLANES, 128)
         )
-        dirs, bot_out, rowmax, argj, snap = wavefront_strip(
+        dirs, bot_out, rowmax, argj, snap, _ = wavefront_strip(
             ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
             k_alpha=k_alpha, local=local, with_dirs=with_dirs, rps=rps,
             interpret=interpret,
@@ -422,33 +510,8 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
             bottom = shifted.reshape(num_blocks, STEPS)
 
     if local:
-        # Merge per-row maxima in DP-row order: max value, smallest row
-        # on ties (argj already holds the first column within a row) —
-        # the reference's row-major first-occurrence rule
-        # (alignSequenceCPU.cpp:191-192).  Vectorized; i is a bijection
-        # of (strip, slot, r) so the min-i tie-break is exact.
-        rm_all = np.stack(rowmaxs)    # (strips, rps, SLOTS)
-        aj_all = np.stack(argjs)
-        c_idx, r_idx, s_idx = np.meshgrid(
-            np.arange(num_strips), np.arange(rps), np.arange(SLOTS),
-            indexing="ij",
-        )
-        i_all = c_idx * rows + rps * s_idx + r_idx + 1
-        valid = i_all <= m
-        v_all = np.where(valid, rm_all, NEG_INF)
-        best = int(v_all.max(initial=NEG_INF))
-        if best <= 0:
-            return 0, 0, 0, words, steps_pad
-        ties = v_all == best
-        flat = np.where(ties.reshape(-1), i_all.reshape(-1), 1 << 62)
-        win = int(flat.argmin())
-        return (
-            best,
-            int(i_all.reshape(-1)[win]),
-            int(aj_all.reshape(-1)[win]),
-            words,
-            steps_pad,
-        )
+        best, bi, bj = merge_local_best(rowmaxs, argjs, rows, rps, m)
+        return best, bi, bj, words, steps_pad
 
     # snap holds S[m, n] at the slot owning row m.
     strip = (m - 1) // rows

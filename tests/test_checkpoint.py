@@ -21,13 +21,13 @@ def _interpret(monkeypatch):
 def test_checkpointed_matches_oracle_multitile(local):
     rng = np.random.default_rng(11)
     sm = _dna_sm()
-    n, m = 2500, 300  # 3 column strips x 3 row blocks of tiles
+    n, m = 2500, 1100  # 2 column strips x 2 row blocks of tiles
     text = rng.integers(0, 4, n).astype(np.int32)
     pattern = rng.integers(0, 4, m).astype(np.int32)
 
     score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
         text, pattern, sm, 4, 5, local=local,
-        strip_cols=1024, block_rows=128,
+        ckpt_cols=2048, rps=1,
     )
     oat, oap, ost, osp, oscore = bindings.oracle_align(
         1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
@@ -52,13 +52,13 @@ def test_checkpointed_protein_global(gap):
     )
     sm = sm_full[:23, :23]
     rng = np.random.default_rng(12)
-    n, m = 1300, 400
+    n, m = 2600, 500
     text = rng.integers(0, 23, n).astype(np.int32)
     pattern = rng.integers(0, 23, m).astype(np.int32)
 
     score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
         text, pattern, sm, 23, gap, local=False,
-        strip_cols=1024, block_rows=256,
+        ckpt_cols=2048, rps=1,
     )
     oat, oap, ost, osp, oscore = bindings.oracle_align(
         0, text.astype(np.int8), pattern.astype(np.int8), sm, 23, gap
@@ -95,7 +95,7 @@ def test_checkpointed_sw_no_match():
     pattern = np.ones(150, dtype=np.int32)
     score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
         text, pattern, sm, 4, 5, local=True,
-        strip_cols=1024, block_rows=128,
+        ckpt_cols=2048, rps=1,
     )
     oat, oap, ost, osp, oscore = bindings.oracle_align(
         1, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 5
