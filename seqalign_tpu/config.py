@@ -63,8 +63,11 @@ MAX_DIRS_BYTES = int(
     os.environ.get("SEQALIGN_MAX_DIRS_BYTES", 4 * 1024**3)
 )
 
-# Host-RAM budget for streamed direction words of very long single pairs
-# (the wavefront/tiled engines stream 2-bit words to host for traceback).
+# Budget for direction words streamed to host RAM by the wavefront/tiled
+# single-pair engines; pairs whose words exceed it switch to the
+# checkpointed engine (ops/checkpoint.py), which re-fills tiles along the
+# optimal path instead of streaming the matrix.  1 GiB ~ a few seconds of
+# host-link transfer; beyond that re-fill is faster as well as smaller.
 MAX_HOST_DIRS_BYTES = int(
-    os.environ.get("SEQALIGN_MAX_HOST_DIRS_BYTES", 100 * 1024**3)
+    os.environ.get("SEQALIGN_MAX_HOST_DIRS_BYTES", 1 * 1024**3)
 )

@@ -128,9 +128,11 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
             .transpose(0, 2, 1)
             .reshape(num_ckpts, rows)
         )
-        rowmaxs.append(np.asarray(jax.device_get(rowmax)).reshape(rps, -1))
-        argjs.append(np.asarray(jax.device_get(argj)).reshape(rps, -1))
-        snaps.append(np.asarray(jax.device_get(snap)).reshape(-1))
+        # Keep device handles; one batched fetch after the strip loop
+        # avoids a host sync (tunnel round trip) per strip.
+        rowmaxs.append(rowmax)
+        argjs.append(argj)
+        snaps.append(snap)
         # Bottom boundary row: value S[i0+rows, j] at flat index j-1,
         # padded so phase-2 tile slices up to ceil(n/ckpt_cols)*ckpt_cols
         # stay in bounds (pad values feed only j > n cells, never read).
@@ -148,6 +150,9 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         if b + 1 < num_strips:
             bottom = shifted.reshape(num_blocks, wavefront.STEPS)
 
+    rowmaxs, argjs, snaps = jax.device_get((rowmaxs, argjs, snaps))
+    rowmaxs = [np.asarray(x).reshape(rps, -1) for x in rowmaxs]
+    argjs = [np.asarray(x).reshape(rps, -1) for x in argjs]
     if local:
         score, bi, bj = wavefront.merge_local_best(
             rowmaxs, argjs, rows, rps, m
@@ -155,7 +160,7 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     else:
         strip = (m - 1) // rows
         slot_idx = ((m - 1) % rows) // rps
-        score = int(snaps[strip][slot_idx])
+        score = int(np.asarray(snaps[strip]).reshape(-1)[slot_idx])
         bi, bj = m, n
     return CheckpointedFill(
         score=score, best_i=bi, best_j=bj,

@@ -35,7 +35,10 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
     use_pallas = config.use_pallas()
 
     def local_shard(t, p, n, m, sm):
-        if use_pallas:
+        # The inter-pair kernel needs TILE_PAIRS-multiple shards (use
+        # pad_batch / BatchAligner for that); smaller shards fall back to
+        # the vmapped XLA engine instead of failing.
+        if use_pallas and t.shape[0] % pallas_fill.TILE_PAIRS == 0:
             return pallas_fill.batch_score_pallas(
                 t, p, n, m, sm, gap,
                 k_alpha=sm.shape[0], local=local,
@@ -102,11 +105,9 @@ class BatchAligner:
         symmetric up to the same swap the CLI performs)."""
         texts = [np.asarray(t, dtype=np.int32) for t in texts]
         patterns = [np.asarray(p, dtype=np.int32) for p in patterns]
-        swapped = []
         for i in range(len(texts)):
             if texts[i].shape[0] < patterns[i].shape[0]:
                 texts[i], patterns[i] = patterns[i], texts[i]
-            swapped.append(None)
 
         out = np.zeros(len(texts), dtype=np.int32)
         # The inter-pair Pallas kernel wants 1024 pairs per device shard;

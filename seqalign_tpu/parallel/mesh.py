@@ -18,9 +18,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
-    devices = jax.devices()
+def make_data_mesh(num_devices: Optional[int] = None,
+                   devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices
+    (default: the default backend's; pass ``devices`` to override, e.g.
+    the virtual CPU devices when the default backend is a real chip)."""
+    if devices is None:
+        devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     return jax.make_mesh((len(devices),), (DATA_AXIS,), devices=devices)

@@ -16,7 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("SEQALIGN_SCALE_TESTS") != "1":
+    # Scale tests (tests/test_scale.py) need the real TPU backend; the
+    # regular suite runs on the virtual CPU mesh.
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
