@@ -166,7 +166,9 @@ def cmd_batch(args) -> None:
                 k_alpha=23, local=False,
             )
 
-        sec = device_seconds_per_call(call, reps=3)
+        # Small batches finish in <1 ms; more in-jit repeats keep the
+        # differencing above the dispatch-latency noise floor.
+        sec = device_seconds_per_call(call, reps=16)
         print(
             f"{b:>8} {sec * 1e3:>10.1f} {b / sec:>12.0f} "
             f"{b * n * m / sec / 1e9:>8.1f}",

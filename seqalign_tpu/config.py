@@ -66,8 +66,11 @@ MAX_DIRS_BYTES = int(
 # Budget for direction words streamed to host RAM by the wavefront/tiled
 # single-pair engines; pairs whose words exceed it switch to the
 # checkpointed engine (ops/checkpoint.py), which re-fills tiles along the
-# optimal path instead of streaming the matrix.  1 GiB ~ a few seconds of
-# host-link transfer; beyond that re-fill is faster as well as smaller.
+# optimal path instead of streaming the matrix.  Measured end-to-end
+# (BENCH_NOTES.md): streaming 16384^2 words (70 MB) costs 5.5 s through
+# this host link vs 0.52 s checkpointed, so the default keeps only
+# small matrices on the streaming path; raise it on hosts with fast
+# device links.
 MAX_HOST_DIRS_BYTES = int(
-    os.environ.get("SEQALIGN_MAX_HOST_DIRS_BYTES", 1 * 1024**3)
+    os.environ.get("SEQALIGN_MAX_HOST_DIRS_BYTES", 8 * 1024**2)
 )
