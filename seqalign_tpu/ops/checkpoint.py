@@ -30,6 +30,7 @@ carrying extra state).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -170,10 +171,10 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     )
 
 
-def _refill_tile(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
+def _tile_inputs(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
                  cache: dict):
-    """Recompute tile (column strip c, row block b)'s packed direction
-    words from the saved boundaries (device array, tile-local layout)."""
+    """Boundary inputs of tile (column strip c, row block b): the strip
+    profile, pattern chunk, left boundary column and top boundary row."""
     strip_off = c * ck.ckpt_cols
     row_base = b * ck.rows
     if ("prof", c) not in cache:
@@ -181,7 +182,6 @@ def _refill_tile(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
             cache["text"], sm, k_alpha, strip_off, ck.ckpt_cols, ck.n
         )
     l = ck.ckpt_cols // SUBLANES
-    gap_t = jnp.asarray(ck.gap, _INT)
 
     # Left boundary column S[row_base + r, strip_off], r = 0..rows.
     if c == 0:
@@ -207,17 +207,47 @@ def _refill_tile(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
         prev_row = ck.boundaries[b - 1][
             strip_off : strip_off + ck.ckpt_cols
         ].reshape(SUBLANES, l)
-
-    dirs, _, _, _ = pallas_fill.strip_fill_pallas(
+    return (
         cache[("prof", c)],
         cache["pattern"][row_base : row_base + ck.rows],
-        gap_t, ck.n, ck.m, row_base, strip_off,
+        lc,
+        prev_row,
+    )
+
+
+def _refill_tile(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
+                 cache: dict):
+    """Recompute tile (c, b)'s packed direction words from the saved
+    boundaries (device array, tile-local layout)."""
+    profile, pat_chunk, lc, prev_row = _tile_inputs(ck, sm, k_alpha, c, b,
+                                                    cache)
+    dirs, _, _, _ = pallas_fill.strip_fill_pallas(
+        profile, pat_chunk,
+        jnp.asarray(ck.gap, _INT), ck.n, ck.m,
+        b * ck.rows, c * ck.ckpt_cols,
         lc, prev_row,
         jnp.asarray(pallas_fill._zeros_state(ck.local)),
         local=ck.local, with_dirs=True,
         interpret=config.pallas_interpret(),
     )
     return dirs.reshape(dirs.shape[0], ck.ckpt_cols)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("local", "max_moves")
+)
+def _refill_walk(profile, pat_chunk, gap, n, m, row_base, strip_off,
+                 lc, prev_row, state0, i, j, local: bool, max_moves: int):
+    """One dispatch: re-fill a tile's direction words and walk them on
+    device — only the move list comes back to the host."""
+    dirs, _, _, _ = pallas_fill.strip_fill_pallas(
+        profile, pat_chunk, gap, n, m, row_base, strip_off,
+        lc, prev_row, state0, local=local, with_dirs=True,
+    )
+    words = dirs.reshape(dirs.shape[0], -1)
+    return device_walk_window(
+        words, row_base, strip_off, i, j, local, max_moves
+    )
 
 
 def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
@@ -262,17 +292,24 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             break
         c = (j - 1) // ck.ckpt_cols
         b = (i - 1) // ck.rows
-        words = _refill_tile(ck, sm, k_alpha, c, b, cache)
         row_lo, col_lo = b * ck.rows, c * ck.ckpt_cols
         if use_device_walk:
-            out, k, i_d, j_d, done_d = device_walk_window(
-                words, row_lo, col_lo, i, j, local, max_moves
+            profile, pat_chunk, lc, prev_row = _tile_inputs(
+                ck, sm, k_alpha, c, b, cache
+            )
+            out, k, i_d, j_d, done_d = _refill_walk(
+                profile, pat_chunk, jnp.asarray(ck.gap, _INT), ck.n, ck.m,
+                row_lo, col_lo, lc, prev_row,
+                jnp.asarray(pallas_fill._zeros_state(local)),
+                i, j, local, max_moves,
             )
             k = int(k)
             mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
             i, j, tile_done = int(i_d), int(j_d), bool(done_d)
         else:
-            words_np = np.asarray(jax.device_get(words))
+            words_np = np.asarray(
+                jax.device_get(_refill_tile(ck, sm, k_alpha, c, b, cache))
+            )
             mv, i, j, tile_done = bindings.walk_packed_window(
                 words_np, row_lo, col_lo, i, j, local
             )

@@ -41,6 +41,7 @@ NEG_INF = -(1 << 30)
 PAD_SCORE = -(1 << 24)
 SUBLANES = 8
 TILE_PAIRS = 1024  # pairs per grid step of the inter-pair batch kernel
+INTERPAIR_UNROLL = 8  # manual cell-loop unroll of the inter-pair kernel
 
 # Substitution scores are packed 4-per-int32 (biased by +128 into a byte
 # each), so the per-cell lookup by text letter is a ceil(K/4)-deep plane
@@ -188,10 +189,11 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 acc = jnp.where(hit, cur, acc)
             return cur, prev_j, acc
 
-        # Mosaic fori supports only unroll=1/full; unroll manually (x8)
-        # to amortize loop overhead over the 3-op cells.
-        unroll = 8
-        assert n_cols % unroll == 0
+        # Mosaic fori supports only unroll=1/full; unroll manually to
+        # amortize loop overhead over the 3-op cells.
+        unroll = INTERPAIR_UNROLL
+        while n_cols % unroll:
+            unroll //= 2
 
         def cell_block(b, carry):
             for u in range(unroll):

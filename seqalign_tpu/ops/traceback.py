@@ -141,34 +141,50 @@ def device_walk_window(words, row_lo, col_lo, i0, j0, local: bool,
     out0 = jnp.zeros((max_moves,), jnp.int32)
     row_lo = jnp.asarray(row_lo, _INT)
     col_lo = jnp.asarray(col_lo, _INT)
+    unroll = 8  # amortize while_loop bookkeeping over the ~us/step gathers
 
-    def cond(state):
-        i, j, k, done, out = state
+    def inside(i, j, done):
         return jnp.logical_and(
             jnp.logical_not(done),
             jnp.logical_and(i > row_lo, j > col_lo),
         )
 
+    def cond(state):
+        i, j, k, done, out = state
+        return inside(i, j, done)
+
     def body(state):
         i, j, k, done, out = state
-        d = _read_dir(words, i - row_lo, j - col_lo)
-        stop = (d == _STOP) if local else jnp.asarray(False)
-        emit = jnp.logical_not(stop)
-        out = jnp.where(emit, out.at[k].set(d), out)
-        k = k + jnp.where(emit, 1, 0)
-        take_t = jnp.logical_and(
-            emit, jnp.logical_or(d == _DIAG, d == _LEFT)
-        )
-        take_p = jnp.logical_and(
-            emit, jnp.logical_or(d == _DIAG, d == _TOP)
-        )
-        i2 = i - take_p.astype(_INT)
-        j2 = j - take_t.astype(_INT)
-        if local:
-            done = jnp.logical_or(
-                stop, jnp.logical_or(i2 == 0, j2 == 0)
+        for _ in range(unroll):
+            live = inside(i, j, done)
+            d = _read_dir(
+                words,
+                jnp.maximum(i - row_lo, 1),
+                jnp.maximum(j - col_lo, 1),
             )
-        return (i2, j2, k, done, out)
+            stop = (d == _STOP) if local else jnp.asarray(False)
+            emit = jnp.logical_and(live, jnp.logical_not(stop))
+            out = jnp.where(emit, out.at[k].set(d), out)
+            k = k + jnp.where(emit, 1, 0)
+            take_t = jnp.logical_and(
+                emit, jnp.logical_or(d == _DIAG, d == _LEFT)
+            )
+            take_p = jnp.logical_and(
+                emit, jnp.logical_or(d == _DIAG, d == _TOP)
+            )
+            i = i - take_p.astype(_INT)
+            j = j - take_t.astype(_INT)
+            if local:
+                done = jnp.logical_or(
+                    done,
+                    jnp.logical_and(
+                        live,
+                        jnp.logical_or(
+                            stop, jnp.logical_or(i == 0, j == 0)
+                        ),
+                    ),
+                )
+        return (i, j, k, done, out)
 
     i, j, k, done, out = jax.lax.while_loop(
         cond, body,
