@@ -37,9 +37,9 @@ def main() -> None:
 
     rng = np.random.default_rng(42)
 
-    # 0.5 Gcell workload: 2048 DNA pairs of 512x512 through the inter-pair
-    # Pallas kernel (1024 pairs per grid step, one pair per vector slot).
-    b, n, m = 2048, 512, 512
+    # 2.1 Gcell workload: 8192 DNA pairs of 512x512 through the inter-pair
+    # Pallas kernel (4096 pairs per grid step, one pair per vector slot).
+    b, n, m = 8192, 512, 512
     sm = jnp.asarray(np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32))
     texts = jnp.asarray(rng.integers(0, 4, (b, n)), jnp.int32)
     patterns = jnp.asarray(rng.integers(0, 4, (b, m)), jnp.int32)
@@ -51,7 +51,7 @@ def main() -> None:
             texts, patterns, ns, ms, sm, 5 + perturb, k_alpha=4, local=True
         )
 
-    per_batch = device_seconds_per_call(call, reps=8)
+    per_batch = device_seconds_per_call(call, reps=16, timings=5)
 
     cells = b * n * m
     gcups = cells / per_batch / 1e9

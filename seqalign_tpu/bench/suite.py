@@ -146,16 +146,28 @@ def cmd_latency(args) -> None:
 
 
 def cmd_batch(args) -> None:
-    from ..ops.pallas_fill import batch_score_pallas, TILE_PAIRS
+    """Batch throughput grid.  Default: protein like the reference's
+    fillDummyRequest batches; --dna --pairs 65536 runs the BASELINE
+    64k-pair DNA workload on this chip."""
+    from ..ops.pallas_fill import batch_score_pallas
 
     rng = np.random.default_rng(2)
-    sm = _blosum50()
+    k = 4 if args.dna else 23
+    sm = (
+        np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+        if args.dna
+        else _blosum50()
+    )
     n = m = args.size
-    print(f"Batch throughput, {n}x{m} global protein pairs (scores)")
+    batches = args.pairs if args.pairs else [1024, 2048, 4096, 8192]
+    print(
+        f"Batch throughput, {n}x{m} "
+        f"{'local DNA' if args.dna else 'global protein'} pairs (scores)"
+    )
     print(f"{'batch':>8} {'ms':>10} {'pairs/s':>12} {'GCUPS':>8}")
-    for b in (1024, 2048, 4096, 8192):
-        texts = jnp.asarray(rng.integers(0, 23, (b, n)), jnp.int32)
-        patterns = jnp.asarray(rng.integers(0, 23, (b, m)), jnp.int32)
+    for b in batches:
+        texts = jnp.asarray(rng.integers(0, k, (b, n)), jnp.int32)
+        patterns = jnp.asarray(rng.integers(0, k, (b, m)), jnp.int32)
         ns = jnp.full((b,), n, jnp.int32)
         ms = jnp.full((b,), m, jnp.int32)
         sm_j = jnp.asarray(sm)
@@ -163,12 +175,13 @@ def cmd_batch(args) -> None:
         def call(perturb):
             return batch_score_pallas(
                 texts, patterns, ns, ms, sm_j, 5 + perturb,
-                k_alpha=23, local=False,
+                k_alpha=k, local=args.dna,
             )
 
         # Small batches finish in <1 ms; more in-jit repeats keep the
         # differencing above the dispatch-latency noise floor.
-        sec = device_seconds_per_call(call, reps=16)
+        reps = max(3, min(16, (1 << 24) // max(1, b)))
+        sec = device_seconds_per_call(call, reps=reps)
         print(
             f"{b:>8} {sec * 1e3:>10.1f} {b / sec:>12.0f} "
             f"{b * n * m / sec / 1e9:>8.1f}",
@@ -196,7 +209,8 @@ def cmd_maxlength(args) -> None:
         def run():
             if args.engine == "wavefront":
                 score, bi, bj, _, _ = wavefront.wavefront_fill(
-                    text, pattern, sm, 4, 5, local=True, with_dirs=False
+                    text, pattern, sm, 4, 5, local=True, with_dirs=False,
+                    rps=16,
                 )
             else:
                 score = tiled.tiled_fill_score(
@@ -299,6 +313,8 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_latency)
     p = sub.add_parser("batch")
     p.add_argument("--size", type=int, default=512)
+    p.add_argument("--dna", action="store_true")
+    p.add_argument("--pairs", nargs="*", type=int)
     p.set_defaults(fn=cmd_batch)
     p = sub.add_parser("maxlength")
     p.add_argument("--lengths", nargs="*", type=int, default=[120000])

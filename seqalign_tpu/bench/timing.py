@@ -21,12 +21,17 @@ import jax.numpy as jnp
 
 
 def device_seconds_per_call(make_call: Callable[[jax.Array], jax.Array],
-                            reps: int = 4) -> float:
+                            reps: int = 4, timings: int = 3) -> float:
     """Average device seconds per call of ``make_call(gap_perturbation)``.
 
     make_call receives an int32 scalar that is 0 at runtime and must fold
     it into its computation (e.g. gap + perturbation); it returns an
     int32 scalar/array whose sum feeds the next iteration.
+
+    Each wall timing is taken ``timings`` times and medianed before
+    differencing — min-of-differences would be biased fast whenever the
+    1-rep baseline draws a slow outlier (the tunneled transport has
+    heavy timing noise).
     """
 
     @partial(jax.jit, static_argnames=("k",))
@@ -37,14 +42,15 @@ def device_seconds_per_call(make_call: Callable[[jax.Array], jax.Array],
 
         return jax.lax.fori_loop(0, k, body, jnp.asarray(0, jnp.int32))
 
+    def timed(k):
+        t0 = time.time()
+        jax.device_get(repeat(k))
+        return time.time() - t0
+
     jax.device_get(repeat(1))
     jax.device_get(repeat(1 + reps))
-    t0 = time.time()
-    jax.device_get(repeat(1))
-    t_one = time.time() - t0
-    t0 = time.time()
-    jax.device_get(repeat(1 + reps))
-    t_many = time.time() - t0
+    t_one = sorted(timed(1) for _ in range(timings))[timings // 2]
+    t_many = sorted(timed(1 + reps) for _ in range(timings))[timings // 2]
     return max((t_many - t_one) / reps, 1e-9)
 
 

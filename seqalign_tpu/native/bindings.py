@@ -66,7 +66,7 @@ def _library() -> ctypes.CDLL:
         ]
         lib.sa_walk_packed_window.restype = i64
         lib.sa_walk_packed_window.argtypes = [
-            i32p, i64, i64, i64, i32, pi64, pi64, u8p, pi32,
+            i32p, i64, i64, i64, i32, pi64, pi64, u8p, i64, pi32,
         ]
         lib.sa_emit_moves.restype = None
         lib.sa_emit_moves.argtypes = [
@@ -266,7 +266,8 @@ def walk_packed_window(
     done = ctypes.c_int32()
     count = lib.sa_walk_packed_window(
         words.reshape(-1), p_cols, row_lo, col_lo, 1 if local else 0,
-        ctypes.byref(io_i), ctypes.byref(io_j), moves, ctypes.byref(done),
+        ctypes.byref(io_i), ctypes.byref(io_j), moves, moves.shape[0],
+        ctypes.byref(done),
     )
     return moves[:count].copy(), io_i.value, io_j.value, bool(done.value)
 

@@ -418,12 +418,15 @@ void sa_traceback_sw_skewed(const int32_t* words, int64_t steps_pad,
 int64_t sa_walk_packed_window(const int32_t* words, int64_t p_cols,
                               int64_t row_lo, int64_t col_lo,
                               int32_t local, int64_t* io_i, int64_t* io_j,
-                              uint8_t* out_moves, int32_t* out_done) {
+                              uint8_t* out_moves, int64_t cap,
+                              int32_t* out_done) {
   int64_t i = *io_i;
   int64_t j = *io_j;
   int64_t len = 0;
   *out_done = 0;
-  while (i > row_lo && j > col_lo) {
+  // cap bounds the buffer against malformed words (a STOP direction in
+  // global mode moves neither cursor; valid fills never produce one).
+  while (i > row_lo && j > col_lo && len < cap) {
     const uint8_t dir = packed_dir(words, p_cols, i - row_lo, j - col_lo);
     if (local && dir == kStop) {
       *out_done = 1;

@@ -126,20 +126,23 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 
 
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
+                      sub_rows: int,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
                       out_ref, row_ref):
-    """Inter-pair batch fill: 1024 pairs per grid step, one pair per
-    (sublane, lane) slot; DP cells walked sequentially per pair.
+    """Inter-pair batch fill: tile_pairs pairs per grid step, one pair
+    per (sublane-row, lane) slot; DP cells walked sequentially per pair.
 
     This is inter-task SIMD (the SWIPE formulation): since every vector
     slot is an independent pair, the DP dependencies are all sequential
-    in the walk order and every op is a dense (8, 128) elementwise op —
-    no prefix scan, no rolls, no reductions anywhere.
+    in the walk order and every op is a dense (sub_rows, 128)
+    elementwise op — no prefix scan, no rolls, no reductions anywhere.
+    Larger sub_rows amortize the per-cell dependency-chain latency over
+    more vector registers.
     """
     g = gap_ref[0, 0]
-    nvec = ns_ref[0]  # (8, 128)
+    nvec = ns_ref[0]  # (sub_rows, 128)
     mvec = ms_ref[0]
-    zero = jnp.zeros((SUBLANES, 128), _INT)
+    zero = jnp.zeros((sub_rows, 128), _INT)
 
     # Row 0: S[0, j] = 0 (local) / -g*j (global).
     def init_col(j, _):
@@ -205,7 +208,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         )
         return acc
 
-    acc0 = jnp.full((SUBLANES, 128), NEG_INF, _INT)
+    acc0 = jnp.full((sub_rows, 128), NEG_INF, _INT)
     if not local:
         # m == 0 pairs fall back to the init row's value at column n.
         acc0 = acc0  # overwritten below for real rows; padding pairs give garbage
@@ -216,10 +219,11 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_alpha", "local", "interpret")
+    jax.jit, static_argnames=("k_alpha", "local", "tile_pairs", "interpret")
 )
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        k_alpha: int, local: bool = False,
+                       tile_pairs: int | None = None,
                        interpret: bool = False):
     """Optimal scores for a padded batch (inter-pair Pallas kernel).
 
@@ -236,30 +240,42 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
     """
     b, n = texts.shape
     m = patterns.shape[1]
-    assert b % TILE_PAIRS == 0, f"batch {b} not a multiple of {TILE_PAIRS}"
-    num_tiles = b // TILE_PAIRS
+    if tile_pairs is None:
+        # Bigger tiles amortize the per-cell dependency-chain latency
+        # over more vector registers: 4096 pairs/step measures 651 GCUPS
+        # vs 119 at 1024 (DNA SW 512^2); 8192 regresses (VMEM pressure).
+        tile_pairs = next(
+            t for t in (4096, 2048, 1024, 512, 256, 128) if b % t == 0
+        )
+    assert tile_pairs % 128 == 0
+    assert b % tile_pairs == 0, f"batch {b} not a multiple of {tile_pairs}"
+    num_tiles = b // tile_pairs
+    sub_rows = tile_pairs // 128
 
-    # Pair-major -> slot-major: (tiles, N, 8, 128) so each kernel read of
-    # texts[j] is one dense (8, 128) register of 1024 pairs' letters.
+    # Pair-major -> slot-major: (tiles, N, sub_rows, 128) so each kernel
+    # read of texts[j] is one dense (sub_rows, 128) vector of tile_pairs
+    # pairs' letters.
     def to_slots(x, width):
         return (
             x.astype(_INT)
-            .reshape(num_tiles, TILE_PAIRS, width)
+            .reshape(num_tiles, tile_pairs, width)
             .transpose(0, 2, 1)
-            .reshape(num_tiles * width, SUBLANES, 128)
+            .reshape(num_tiles * width, sub_rows, 128)
         )
 
     texts_s = to_slots(texts, n)
     pats_s = to_slots(patterns, m)
-    ns_s = jnp.asarray(ns, _INT).reshape(num_tiles, 1, SUBLANES, 128)
-    ms_s = jnp.asarray(ms, _INT).reshape(num_tiles, 1, SUBLANES, 128)
+    ns_s = jnp.asarray(ns, _INT).reshape(num_tiles, 1, sub_rows, 128)
+    ms_s = jnp.asarray(ms, _INT).reshape(num_tiles, 1, sub_rows, 128)
     gap_arr = jnp.asarray(gap, _INT).reshape(1, 1)
     if _use_packed_subs(k_alpha):
         sm = pack_score_matrix_traced(score_matrix, k_alpha)
     else:
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
-    kernel = functools.partial(_interpair_kernel, k_alpha, local, n, m)
+    kernel = functools.partial(
+        _interpair_kernel, k_alpha, local, n, m, sub_rows
+    )
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -269,20 +285,25 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                 (k_alpha, sm.shape[1]), lambda t: (0, 0),
                 memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((n, SUBLANES, 128), lambda t: (t, 0, 0)),
-            pl.BlockSpec((m, SUBLANES, 128), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, SUBLANES, 128), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, SUBLANES, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((n, sub_rows, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((m, sub_rows, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, SUBLANES, 128), _INT),
-        scratch_shapes=[pltpu.VMEM((n, SUBLANES, 128), _INT)],
+        out_specs=pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, sub_rows, 128), _INT),
+        scratch_shapes=[pltpu.VMEM((n, sub_rows, 128), _INT)],
+        # Text/pattern blocks + row state scale with tile_pairs; lift the
+        # compiler's default 16 MiB scoped-VMEM cap when they need more.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(gap_arr, sm, texts_s, pats_s,
-      ns_s.reshape(num_tiles, SUBLANES, 128),
-      ms_s.reshape(num_tiles, SUBLANES, 128))
+      ns_s.reshape(num_tiles, sub_rows, 128),
+      ms_s.reshape(num_tiles, sub_rows, 128))
     # Slot-major -> pair order.
-    return out.reshape(num_tiles, SUBLANES * 128).reshape(-1)
+    return out.reshape(num_tiles, tile_pairs).reshape(-1)
 
 
 # ----------------------------------------------------------------------------

@@ -35,10 +35,10 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
     use_pallas = config.use_pallas()
 
     def local_shard(t, p, n, m, sm):
-        # The inter-pair kernel needs TILE_PAIRS-multiple shards (use
-        # pad_batch / BatchAligner for that); smaller shards fall back to
-        # the vmapped XLA engine instead of failing.
-        if use_pallas and t.shape[0] % pallas_fill.TILE_PAIRS == 0:
+        # The inter-pair kernel needs 128-multiple shards (use pad_batch
+        # / BatchAligner for that); smaller shards fall back to the
+        # vmapped XLA engine instead of failing.
+        if use_pallas and t.shape[0] % 128 == 0:
             return pallas_fill.batch_score_pallas(
                 t, p, n, m, sm, gap,
                 k_alpha=sm.shape[0], local=local,

@@ -87,6 +87,63 @@ def test_checkpoint_engine_through_api(algo, monkeypatch):
     assert response_tuple(cpu) == response_tuple(tpu)
 
 
+def test_checkpointed_fuzz_random_shapes():
+    # Randomized sizes/gaps across both algorithms, byte-compared to the
+    # oracle; exercises ragged last tiles and checkpoint-column edges.
+    rng = np.random.default_rng(13)
+    sm = _dna_sm()
+    for trial in range(4):
+        n = int(rng.integers(2049, 4500))
+        m = int(rng.integers(64, 1400))
+        gap = int(rng.integers(1, 8))
+        local = bool(trial % 2)
+        text = rng.integers(0, 4, n).astype(np.int32)
+        pattern = rng.integers(0, 4, m).astype(np.int32)
+        score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
+            text, pattern, sm, 4, gap, local=local,
+            ckpt_cols=2048, rps=1,
+        )
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            1 if local else 0, text.astype(np.int8),
+            pattern.astype(np.int8), sm, 4, gap,
+        )
+        assert score == oscore, (trial, n, m, gap, local)
+        np.testing.assert_array_equal(at, oat)
+        np.testing.assert_array_equal(ap, oap)
+        assert (st, sp) == (ost, osp)
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_device_walk_matches_native(local):
+    # The on-device window walker must replay exactly like the native
+    # one on the same packed words, including STOP/edge handling.
+    from seqalign_tpu.ops.traceback import device_walk_window, pack_words
+
+    rng = np.random.default_rng(14)
+    rows, cols = 64, 256
+    # Valid direction streams only: global fills never contain STOP (a
+    # STOP in global mode moves neither cursor); local may.
+    hi = 4 if local else 3
+    dirs_bytes = rng.integers(0, hi, (rows + 1, cols + 1)).astype(np.uint8)
+    words_np = pack_words(dirs_bytes)
+    row_lo, col_lo = 128, 512
+    for trial in range(6):
+        i = int(rng.integers(row_lo + 1, row_lo + rows + 1))
+        j = int(rng.integers(col_lo + 1, col_lo + cols + 1))
+        mv_n, i_n, j_n, done_n = bindings.walk_packed_window(
+            words_np, row_lo, col_lo, i, j, local
+        )
+        out, k, i_d, j_d, done_d = device_walk_window(
+            np.asarray(words_np), row_lo, col_lo, i, j, local,
+            rows + cols + 1,
+        )
+        k = int(k)
+        np.testing.assert_array_equal(
+            np.asarray(out)[:k].astype(np.uint8), mv_n
+        )
+        assert (int(i_d), int(j_d), bool(done_d)) == (i_n, j_n, done_n)
+
+
 def test_checkpointed_sw_no_match():
     # All-mismatch local alignment: best score 0, empty alignment, the
     # reference's (-1, -1) start sentinel.
