@@ -47,10 +47,13 @@ _INT = jnp.int32
 _LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
 
 DEFAULT_CKPT_COLS = 32768  # column-checkpoint spacing (= re-fill tile width)
-# Rows per slot of the phase-1 wavefront: 16 measures 1.45x over 8 for
-# score-only fills (67.8 vs 43.4 GCUPS at 211k, checkpoints included);
-# the resulting 16384-row strips still fit strip_fill_pallas re-fills.
-DEFAULT_CKPT_RPS = 16
+# Phase-1 wavefront geometry: 4096 vector slots x 4 rows per slot keeps
+# the 16384-row strip height (strip_fill_pallas re-fills still fit) but
+# shortens the sequential per-step row chain 4x by widening every vector
+# op to 32 sublane-rows — the same latency amortization that took the
+# batch kernel from 119 to ~300+ GCUPS.
+DEFAULT_CKPT_RPS = 4
+DEFAULT_CKPT_SLOTS = 4096
 
 
 @dataclasses.dataclass
@@ -79,7 +82,8 @@ class CheckpointedFill:
 def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
                       local: bool = False,
                       ckpt_cols: int = DEFAULT_CKPT_COLS,
-                      rps: int = DEFAULT_CKPT_RPS) -> CheckpointedFill:
+                      rps: int = DEFAULT_CKPT_RPS,
+                      slots: int = DEFAULT_CKPT_SLOTS) -> CheckpointedFill:
     """Score-only wavefront fill keeping tile boundary checkpoints on
     device (the strip loop mirrors wavefront.wavefront_fill)."""
     text_np = np.asarray(text, dtype=np.int32)
@@ -90,10 +94,10 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
     interpret = config.pallas_interpret()
-    rows = wavefront.strip_rows(rps)
+    rows = rps * slots
 
     num_strips = max(1, -(-m // rows))
-    total_steps = n + wavefront.SLOTS - 1
+    total_steps = n + slots - 1
     steps_pad = -(-total_steps // wavefront.STEPS) * wavefront.STEPS
     num_blocks = steps_pad // wavefront.STEPS
 
@@ -116,20 +120,20 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     colvals, boundaries, rowmaxs, argjs, snaps = [], [], [], [], []
     for b in range(num_strips):
         i0 = b * rows
-        chunk = pat_pad[i0 : i0 + rows].reshape(wavefront.SLOTS, rps)
+        chunk = pat_pad[i0 : i0 + rows].reshape(slots, rps)
         pat_slots = jnp.asarray(
-            np.ascontiguousarray(chunk.T).reshape(rps, SUBLANES, 128)
+            np.ascontiguousarray(chunk.T).reshape(rps, slots // 128, 128)
         )
         _, bot_out, rowmax, argj, snap, ckpts = wavefront.wavefront_strip(
             ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
             k_alpha=k_alpha, local=local, with_dirs=False, rps=rps,
-            ckpt_every=ckpt_cols, interpret=interpret,
+            ckpt_every=ckpt_cols, slots=slots, interpret=interpret,
         )
-        # (num_ckpts*rps, 8, 128) -> (num_ckpts, rows) with row index
-        # ri = rps*slot + r.
+        # (num_ckpts*rps, slots/128, 128) -> (num_ckpts, rows) with row
+        # index ri = rps*slot + r.
         num_ckpts = ckpts.shape[0] // rps
         colvals.append(
-            ckpts.reshape(num_ckpts, rps, wavefront.SLOTS)
+            ckpts.reshape(num_ckpts, rps, slots)
             .transpose(0, 2, 1)
             .reshape(num_ckpts, rows)
         )
@@ -143,8 +147,7 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         # stay in bounds (pad values feed only j > n cells, never read).
         flat = jnp.reshape(bot_out, (-1,))
         shifted = jnp.concatenate(
-            [flat[wavefront.SLOTS - 1 :],
-             jnp.zeros((wavefront.SLOTS - 1,), _INT)]
+            [flat[slots - 1 :], jnp.zeros((slots - 1,), _INT)]
         )
         pad = -(-steps_pad // ckpt_cols) * ckpt_cols - steps_pad
         boundaries.append(
@@ -160,7 +163,7 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     argjs = [np.asarray(x).reshape(rps, -1) for x in argjs]
     if local:
         score, bi, bj = wavefront.merge_local_best(
-            rowmaxs, argjs, rows, rps, m
+            rowmaxs, argjs, rows, rps, m, slots=slots
         )
     else:
         strip = (m - 1) // rows
@@ -336,7 +339,8 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
 def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
                        local: bool = False,
                        ckpt_cols: int = DEFAULT_CKPT_COLS,
-                       rps: int = DEFAULT_CKPT_RPS):
+                       rps: int = DEFAULT_CKPT_RPS,
+                       slots: int = DEFAULT_CKPT_SLOTS):
     """Full alignment of an arbitrarily long pair in O(boundary) memory.
 
     Returns (score, best_i, best_j, aligned_text_idx, aligned_pattern_idx,
@@ -344,7 +348,7 @@ def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
     """
     ck = checkpointed_fill(
         text, pattern, score_matrix, k_alpha, gap,
-        local=local, ckpt_cols=ckpt_cols, rps=rps,
+        local=local, ckpt_cols=ckpt_cols, rps=rps, slots=slots,
     )
     at, ap, st, sp = checkpointed_traceback(
         ck, text, pattern, score_matrix, k_alpha

@@ -2,14 +2,12 @@
 
 The hot path of the framework.  Two kernel families:
 
-* :func:`batch_score_pallas` — throughput kernel: 8 pairs per grid step,
-  one pair per VPU sublane, DP columns on lanes.  Each DP row is one
-  fully-dense vector step; the left-to-right dependency is resolved with
-  a masked-roll Kogge-Stone prefix max (the max-plus scan identity, see
-  ops/scan_engine.py).  The reference's analog is the anti-diagonal
-  wavefront + 32 concurrent streams (alignSequenceGPU.cu:73-353); here
-  the whole matrix-fill wave lives in VMEM/registers and there is no
-  inter-chunk protocol at all.
+* :func:`batch_score_pallas` — throughput kernel: up to 4096 pairs per
+  grid step, one pair per vector slot, DP cells walked sequentially per
+  pair (inter-task SIMD, the SWIPE formulation).  The reference's analog
+  is the anti-diagonal wavefront + 32 concurrent streams
+  (alignSequenceGPU.cu:73-353); here the whole matrix-fill wave lives in
+  VMEM/registers and there is no inter-chunk protocol at all.
 
 * :func:`pair_fill_pallas` — single-pair fill emitting the traceback
   direction matrix, 2-bit packed (16 DP rows per int32 word), plus the

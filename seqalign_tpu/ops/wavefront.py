@@ -60,7 +60,7 @@ def strip_rows(r: int = ROWS_PER_SLOT) -> int:
 
 
 def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
-                      ckpt_every: int,
+                      ckpt_every: int, slots: int,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
                       dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref,
                       ckpt_ref,
@@ -74,11 +74,12 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     m = scal_ref[0, 2]
     i0 = scal_ref[0, 3]
 
-    lane = jax.lax.broadcasted_iota(_INT, (SUBLANES, 128), 1)
-    sub = jax.lax.broadcasted_iota(_INT, (SUBLANES, 128), 0)
+    srows = slots // 128  # sublane-rows per vector op (slots/128 vregs)
+    lane = jax.lax.broadcasted_iota(_INT, (srows, 128), 1)
+    sub = jax.lax.broadcasted_iota(_INT, (srows, 128), 0)
     slot = sub * 128 + lane
     pos00 = slot == 0
-    pos_last = slot == SLOTS - 1
+    pos_last = slot == slots - 1
     # Row index per in-slot row r: ivec_r = i0 + rps*slot + r + 1.
     ibase = i0 + rps * slot
 
@@ -92,7 +93,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     def _init():
         for r in range(rps):
             cur_scr[r] = (
-                jnp.zeros((SUBLANES, 128), _INT)
+                jnp.zeros((srows, 128), _INT)
                 if local
                 else -(gap * (ibase + r + 1))
             )
@@ -100,28 +101,28 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
         # diagonal ancestor is the strip corner H[i0, 0]; other slots get
         # theirs via the shift chain (boundary of the neighbor's last row).
         last_boundary = (
-            jnp.zeros((SUBLANES, 128), _INT) if local else -(gap * ibase)
+            jnp.zeros((srows, 128), _INT) if local else -(gap * ibase)
         )
         topsh_scr[:, :] = (
             last_boundary if local
             else jnp.where(pos00, -(gap * i0), last_boundary)
         )
-        w_scr[:, :] = jnp.zeros((SUBLANES, 128), _INT)
+        w_scr[:, :] = jnp.zeros((srows, 128), _INT)
         if local:
             for r in range(rps):
-                acc_scr[r] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
-                aj_scr[r] = jnp.zeros((SUBLANES, 128), _INT)
+                acc_scr[r] = jnp.full((srows, 128), NEG_INF, _INT)
+                aj_scr[r] = jnp.zeros((srows, 128), _INT)
         else:
-            snap_scr[:, :] = jnp.full((SUBLANES, 128), NEG_INF, _INT)
+            snap_scr[:, :] = jnp.full((srows, 128), NEG_INF, _INT)
         if ckpt_every:
             for r in range(rps):
-                ckpt_scr[r] = jnp.zeros((SUBLANES, 128), _INT)
+                ckpt_scr[r] = jnp.zeros((srows, 128), _INT)
         # Packed substitution planes per in-slot row: plane (r, q) holds
         # biased bytes sm[pat_r, 4q..4q+3] (see pack_score_matrix).
         for r in range(rps):
             pat = pat_ref[r]
             for q in range(n_planes):
-                cc = jnp.zeros((SUBLANES, 128), _INT)
+                cc = jnp.zeros((srows, 128), _INT)
                 for a in range(k_alpha):
                     cc = jnp.where(pat == a, sm_ref[a, q], cc)
                 coef_scr[r * n_planes + q] = cc
@@ -139,7 +140,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
 
     def word_fn(k16, carry):
         curs, topsh, w, coll, accs, ajs, snap, cks = carry
-        words = [jnp.zeros((SUBLANES, 128), _INT)] * rps
+        words = [jnp.zeros((srows, 128), _INT)] * rps
         for u in range(unroll):
             k = k16 * unroll + u
             t = g_blk * STEPS + k
@@ -213,7 +214,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
 
             curs = new_curs
             topsh = nb_top
-            # Bottom-row stream: last row of slot 1023, collected
+            # Bottom-row stream: last row of the last slot, collected
             # vectorially and flushed once per 128 steps.
             coll = jnp.where(
                 pos_last, curs[rps - 1], pltpu.roll(coll, 127, axis=1)
@@ -228,13 +229,13 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             bot_out_ref[(k16 * unroll) // 128] = coll
 
         if ckpt_every:
-            # Column q*ckpt_every is fully captured once slot 1023 has
-            # passed it (step q*ckpt_every + SLOTS - 2); flush at the end
-            # of the word group containing that step.  Safe because the
-            # next checkpoint's capture window starts > ckpt_every - 1045
-            # steps later (ckpt_every >= 2048 enforced by the wrapper).
+            # Column q*ckpt_every is fully captured once the last slot
+            # has passed it (step q*ckpt_every + slots - 2); flush at the
+            # end of the word group containing that step.  Safe because
+            # the next checkpoint's capture window starts well after
+            # (ckpt_every >= max(2048, 2*slots) enforced by the wrapper).
             t_last = g_blk * STEPS + k16 * unroll + (unroll - 1)
-            rel = t_last - (SLOTS - 2)
+            rel = t_last - (slots - 2)
 
             @pl.when(
                 jnp.logical_and(
@@ -281,22 +282,29 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_alpha", "local", "with_dirs", "rps", "ckpt_every", "interpret"
+        "k_alpha", "local", "with_dirs", "rps", "ckpt_every", "slots",
+        "interpret"
     ),
 )
 def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
                     gap, n, m, i0, k_alpha: int, local: bool = False,
                     with_dirs: bool = True, rps: int = ROWS_PER_SLOT,
-                    ckpt_every: int = 0, interpret: bool = False):
-    """Run one (rps*1024)-row strip sweep.
+                    ckpt_every: int = 0, slots: int = SLOTS,
+                    interpret: bool = False):
+    """Run one (rps*slots)-row strip sweep.
 
     Args:
       text_steps: (num_blocks, STEPS) int32 — text[t] per step.
       bottom_in: (num_blocks, STEPS) int32 — strip's top boundary row:
         H[i0, t+1] per step (strip 0: -g*(t+1) / 0).
-      pattern_slots: (rps, 8, 128) int32 — pattern letters; entry
+      pattern_slots: (rps, slots/128, 128) int32 — pattern letters; entry
         (r, su, la) is the letter of DP row i0 + rps*(su*128+la) + r + 1.
       gap, n, m, i0: scalars.
+      slots: vector slots per strip (multiple of 128).  Wider slots
+        amortize the sequential per-step row chain over more vector
+        registers — the score-only paths default to 4096 via
+        ops/checkpoint.py; the skewed direction format is pinned to
+        1024 (with_dirs requires it).
 
     Returns (dirs, bottom_out, rowmax, argj, snap, ckpts):
       dirs: (num_blocks*STEPS/16*rps, 8, 128) skewed words — word
@@ -306,15 +314,24 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
       rowmax/argj: (rps, 8, 128) per-row maxima / first best column;
       snap: (8, 128) holding S[m, n] (global);
       ckpts: (num_ckpts*rps, 8, 128) column checkpoints when
-        ckpt_every > 0 (power of two, >= 2048): entry (q*rps + r, su, la)
+        ckpt_every > 0 (power of two, >= slots+16): entry (q*rps+r, su, la)
         holds S[i0 + rps*(su*128+la) + r + 1, (q+1)*ckpt_every] — used by
         the checkpointed long-pair engine (dummy (1, 8, 128) otherwise).
     """
     num_blocks, steps = text_steps.shape
     assert steps == STEPS
+    assert slots % 128 == 0
+    # Capture windows must not overlap: column q*C is in flight for
+    # slots-1 steps and flushes within DIR_STEPS_PER_WORD-1 steps after,
+    # so consecutive checkpoint columns need C >= slots + 16.
     assert ckpt_every == 0 or (
-        ckpt_every >= 2048 and (ckpt_every & (ckpt_every - 1)) == 0
-    ), "ckpt_every must be a power of two >= 2048"
+        ckpt_every >= slots + DIR_STEPS_PER_WORD
+        and (ckpt_every & (ckpt_every - 1)) == 0
+    ), "ckpt_every must be a power of two >= slots + 16"
+    assert not with_dirs or slots == SLOTS, (
+        "the skewed direction format assumes 1024 slots"
+    )
+    srows = slots // 128
 
     scal = jnp.stack(
         [jnp.asarray(x, _INT) for x in (gap, n, m, i0)]
@@ -326,7 +343,8 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     sm = pack_score_matrix_traced(score_matrix, k_alpha)
 
     kernel = functools.partial(
-        _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every
+        _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every,
+        slots,
     )
     if ckpt_every:
         num_ckpts = max(1, (num_blocks * STEPS) // ckpt_every)
@@ -337,18 +355,18 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         ckpt_scr_rows = 1
     words_per_block = (STEPS // DIR_STEPS_PER_WORD) * rps
     if with_dirs:
-        dirs_shape = (num_blocks * words_per_block, SUBLANES, 128)
+        dirs_shape = (num_blocks * words_per_block, srows, 128)
         dirs_spec = pl.BlockSpec(
-            (words_per_block, SUBLANES, 128), lambda g: (g, 0, 0)
+            (words_per_block, srows, 128), lambda g: (g, 0, 0)
         )
     else:
-        dirs_shape = (1, SUBLANES, 128)
-        dirs_spec = pl.BlockSpec((1, SUBLANES, 128), lambda g: (0, 0, 0))
+        dirs_shape = (1, srows, 128)
+        dirs_spec = pl.BlockSpec((1, srows, 128), lambda g: (0, 0, 0))
 
     smem = lambda shape, idx: pl.BlockSpec(  # noqa: E731
         shape, idx, memory_space=pltpu.SMEM
     )
-    vec = lambda: pl.BlockSpec((rps, SUBLANES, 128), lambda g: (0, 0, 0))  # noqa: E731
+    vec = lambda: pl.BlockSpec((rps, srows, 128), lambda g: (0, 0, 0))  # noqa: E731
 
     dirs, bot_out, rowmax, argj, snap, ckpts = pl.pallas_call(
         kernel,
@@ -363,41 +381,41 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         out_specs=(
             dirs_spec,
             pl.BlockSpec(
-                (STEPS // 128, SUBLANES, 128), lambda g: (g, 0, 0)
+                (STEPS // 128, srows, 128), lambda g: (g, 0, 0)
             ),
             vec(),
             vec(),
-            pl.BlockSpec((SUBLANES, 128), lambda g: (0, 0)),
+            pl.BlockSpec((srows, 128), lambda g: (0, 0)),
             pl.BlockSpec(
-                (ckpt_rows, SUBLANES, 128), lambda g: (0, 0, 0)
+                (ckpt_rows, srows, 128), lambda g: (0, 0, 0)
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(dirs_shape, _INT),
             jax.ShapeDtypeStruct(
-                (num_blocks * (STEPS // 128), SUBLANES, 128), _INT
+                (num_blocks * (STEPS // 128), srows, 128), _INT
             ),
-            jax.ShapeDtypeStruct((rps, SUBLANES, 128), _INT),
-            jax.ShapeDtypeStruct((rps, SUBLANES, 128), _INT),
-            jax.ShapeDtypeStruct((SUBLANES, 128), _INT),
-            jax.ShapeDtypeStruct((ckpt_rows, SUBLANES, 128), _INT),
+            jax.ShapeDtypeStruct((rps, srows, 128), _INT),
+            jax.ShapeDtypeStruct((rps, srows, 128), _INT),
+            jax.ShapeDtypeStruct((srows, 128), _INT),
+            jax.ShapeDtypeStruct((ckpt_rows, srows, 128), _INT),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rps, SUBLANES, 128), _INT),   # cur
-            pltpu.VMEM((SUBLANES, 128), _INT),        # topsh
-            pltpu.VMEM((SUBLANES, 128), _INT),        # w
-            pltpu.VMEM((rps, SUBLANES, 128), _INT),   # acc
-            pltpu.VMEM((rps, SUBLANES, 128), _INT),   # aj
-            pltpu.VMEM((SUBLANES, 128), _INT),        # snap
-            pltpu.VMEM((SUBLANES, 128), _INT),        # coll
-            pltpu.VMEM((rps * n_planes, SUBLANES, 128), _INT),  # coef
-            pltpu.VMEM((ckpt_scr_rows, SUBLANES, 128), _INT),   # ckpt
+            pltpu.VMEM((rps, srows, 128), _INT),   # cur
+            pltpu.VMEM((srows, 128), _INT),        # topsh
+            pltpu.VMEM((srows, 128), _INT),        # w
+            pltpu.VMEM((rps, srows, 128), _INT),   # acc
+            pltpu.VMEM((rps, srows, 128), _INT),   # aj
+            pltpu.VMEM((srows, 128), _INT),        # snap
+            pltpu.VMEM((srows, 128), _INT),        # coll
+            pltpu.VMEM((rps * n_planes, srows, 128), _INT),  # coef
+            pltpu.VMEM((ckpt_scr_rows, srows, 128), _INT),   # ckpt
         ],
         interpret=interpret,
     )(scal, sm, text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
       bottom_in.astype(_INT).reshape(num_blocks, 1, STEPS),
       pattern_slots.astype(_INT))
-    bot_flat = bot_out[:, SUBLANES - 1, :].reshape(-1)
+    bot_flat = bot_out[:, srows - 1, :].reshape(-1)
     return (
         dirs,
         bot_flat.reshape(num_blocks, STEPS),
@@ -408,21 +426,22 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     )
 
 
-def merge_local_best(rowmaxs, argjs, rows: int, rps: int, m: int):
+def merge_local_best(rowmaxs, argjs, rows: int, rps: int, m: int,
+                     slots: int = SLOTS):
     """Merge per-row SW maxima in DP-row order: max value, smallest row
     on ties (argj already holds the first column within a row) — the
     reference's row-major first-occurrence rule
     (alignSequenceCPU.cpp:191-192).  Vectorized; i is a bijection of
     (strip, slot, r) so the min-i tie-break is exact.
 
-    rowmaxs/argjs: lists of (rps, SLOTS) np arrays, one per strip.
+    rowmaxs/argjs: lists of (rps, slots) np arrays, one per strip.
     Returns (best, best_i, best_j) with the reference's 0/0/0 floor.
     """
     num_strips = len(rowmaxs)
-    rm_all = np.stack(rowmaxs)    # (strips, rps, SLOTS)
+    rm_all = np.stack(rowmaxs)    # (strips, rps, slots)
     aj_all = np.stack(argjs)
     c_idx, r_idx, s_idx = np.meshgrid(
-        np.arange(num_strips), np.arange(rps), np.arange(SLOTS),
+        np.arange(num_strips), np.arange(rps), np.arange(slots),
         indexing="ij",
     )
     i_all = c_idx * rows + rps * s_idx + r_idx + 1

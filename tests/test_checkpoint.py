@@ -27,7 +27,7 @@ def test_checkpointed_matches_oracle_multitile(local):
 
     score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
         text, pattern, sm, 4, 5, local=local,
-        ckpt_cols=2048, rps=1,
+        ckpt_cols=2048, rps=1, slots=1024,
     )
     oat, oap, ost, osp, oscore = bindings.oracle_align(
         1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
@@ -58,7 +58,7 @@ def test_checkpointed_protein_global(gap):
 
     score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
         text, pattern, sm, 23, gap, local=False,
-        ckpt_cols=2048, rps=1,
+        ckpt_cols=2048, rps=1, slots=1024,
     )
     oat, oap, ost, osp, oscore = bindings.oracle_align(
         0, text.astype(np.int8), pattern.astype(np.int8), sm, 23, gap
@@ -101,7 +101,7 @@ def test_checkpointed_fuzz_random_shapes():
         pattern = rng.integers(0, 4, m).astype(np.int32)
         score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
             text, pattern, sm, 4, gap, local=local,
-            ckpt_cols=2048, rps=1,
+            ckpt_cols=2048, rps=1, slots=1024,
         )
         oat, oap, ost, osp, oscore = bindings.oracle_align(
             1 if local else 0, text.astype(np.int8),
@@ -152,7 +152,7 @@ def test_checkpointed_sw_no_match():
     pattern = np.ones(150, dtype=np.int32)
     score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
         text, pattern, sm, 4, 5, local=True,
-        ckpt_cols=2048, rps=1,
+        ckpt_cols=2048, rps=1, slots=1024,
     )
     oat, oap, ost, osp, oscore = bindings.oracle_align(
         1, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 5
