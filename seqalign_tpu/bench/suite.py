@@ -210,7 +210,7 @@ def cmd_maxlength(args) -> None:
             if args.engine == "wavefront":
                 score, bi, bj, _, _ = wavefront.wavefront_fill(
                     text, pattern, sm, 4, 5, local=True, with_dirs=False,
-                    rps=16,
+                    rps=4, slots=4096,
                 )
             else:
                 score = tiled.tiled_fill_score(

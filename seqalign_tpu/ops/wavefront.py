@@ -458,12 +458,14 @@ def merge_local_best(rowmaxs, argjs, rows: int, rps: int, m: int,
 
 def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
                    local: bool = False, with_dirs: bool = True,
-                   rps: int = ROWS_PER_SLOT, interpret: bool = False):
-    """Full single-pair fill via (rps*1024)-row wavefront strips.
+                   rps: int = ROWS_PER_SLOT, slots: int = SLOTS,
+                   interpret: bool = False):
+    """Full single-pair fill via (rps*slots)-row wavefront strips.
 
     Returns (score, best_i, best_j, words, steps_pad) where words is the
     host-assembled skewed direction matrix, shape
-    (num_strips, steps_pad/16 * rps, 1024), or None.
+    (num_strips, steps_pad/16 * rps, 1024), or None (with_dirs pins
+    slots to 1024; score-only callers may widen slots for throughput).
     """
     text_np = np.asarray(text, dtype=np.int32)
     pattern_np = np.asarray(pattern, dtype=np.int32)
@@ -471,10 +473,10 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     pack_score_matrix(sm, k_alpha)  # validate the |score| <= 127 contract
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
-    rows = strip_rows(rps)
+    rows = rps * slots
 
     num_strips = max(1, -(-m // rows))
-    total_steps = n + SLOTS - 1
+    total_steps = n + slots - 1
     steps_pad = -(-total_steps // STEPS) * STEPS
     num_blocks = steps_pad // STEPS
 
@@ -495,7 +497,7 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
 
     words = (
         np.empty(
-            (num_strips, (steps_pad // DIR_STEPS_PER_WORD) * rps, SLOTS),
+            (num_strips, (steps_pad // DIR_STEPS_PER_WORD) * rps, slots),
             dtype=np.int32,
         )
         if with_dirs
@@ -506,30 +508,32 @@ def wavefront_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     for c in range(num_strips):
         i0 = c * rows
         # pattern_slots[r, su, la] = pattern letter of row i0+rps*slot+r+1.
-        chunk = pat_pad[i0 : i0 + rows].reshape(SLOTS, rps)
+        chunk = pat_pad[i0 : i0 + rows].reshape(slots, rps)
         pat_slots = jnp.asarray(
-            np.ascontiguousarray(chunk.T).reshape(rps, SUBLANES, 128)
+            np.ascontiguousarray(chunk.T).reshape(rps, slots // 128, 128)
         )
         dirs, bot_out, rowmax, argj, snap, _ = wavefront_strip(
             ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
             k_alpha=k_alpha, local=local, with_dirs=with_dirs, rps=rps,
-            interpret=interpret,
+            slots=slots, interpret=interpret,
         )
         if with_dirs:
             w = np.asarray(jax.device_get(dirs))
-            words[c] = w.reshape(w.shape[0], SLOTS)
-        rowmaxs.append(np.asarray(jax.device_get(rowmax)).reshape(rps, SLOTS))
-        argjs.append(np.asarray(jax.device_get(argj)).reshape(rps, SLOTS))
+            words[c] = w.reshape(w.shape[0], slots)
+        rowmaxs.append(np.asarray(jax.device_get(rowmax)).reshape(rps, slots))
+        argjs.append(np.asarray(jax.device_get(argj)).reshape(rps, slots))
         snaps.append(np.asarray(jax.device_get(snap)).reshape(-1))
         if c + 1 < num_strips:
             flat = jnp.reshape(bot_out, (-1,))
             shifted = jnp.concatenate(
-                [flat[SLOTS - 1 :], jnp.zeros((SLOTS - 1,), _INT)]
+                [flat[slots - 1 :], jnp.zeros((slots - 1,), _INT)]
             )
             bottom = shifted.reshape(num_blocks, STEPS)
 
     if local:
-        best, bi, bj = merge_local_best(rowmaxs, argjs, rows, rps, m)
+        best, bi, bj = merge_local_best(
+            rowmaxs, argjs, rows, rps, m, slots=slots
+        )
         return best, bi, bj, words, steps_pad
 
     # snap holds S[m, n] at the slot owning row m.
