@@ -64,6 +64,10 @@ def _library() -> ctypes.CDLL:
             i32p, i64, i64, i64, i64, i8p, i8p, i32,
             u8p, u8p, pi64, pi64, pi64,
         ]
+        lib.sa_fill_affine.restype = i32
+        lib.sa_fill_affine.argtypes = [
+            i32, i8p, i64, i8p, i64, i32p, i32, i32, i32, pi32, pi64,
+        ]
         lib.sa_walk_packed_window.restype = i64
         lib.sa_walk_packed_window.argtypes = [
             i32p, i64, i64, i64, i32, pi64, pi64, u8p, i64, pi32,
@@ -238,6 +242,34 @@ def traceback_skewed(
         )
     k = out_len.value
     return out_text[:k].copy(), out_pattern[:k].copy(), out_st.value, out_sp.value
+
+
+def oracle_fill_affine(
+    algo: int,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    score_matrix: np.ndarray,
+    alphabet_size: int,
+    gap_open: int,
+    gap_extend: int,
+) -> Tuple[int, int]:
+    """Affine-gap (Gotoh) score-only fill: a gap run of length L costs
+    open + (L-1)*extend.  Returns (score, best_flat_idx) — best cell is
+    the first row-major occurrence for local, 0 for global."""
+    lib = _library()
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    out_score = ctypes.c_int32()
+    out_best = ctypes.c_int64()
+    rc = lib.sa_fill_affine(
+        algo, text, text.shape[0], pattern, pattern.shape[0],
+        _as_matrix(score_matrix, alphabet_size), alphabet_size,
+        gap_open, gap_extend,
+        ctypes.byref(out_score), ctypes.byref(out_best),
+    )
+    if rc != 0:
+        raise MemoryError("native oracle: allocation failed")
+    return out_score.value, out_best.value
 
 
 def walk_packed_window(

@@ -401,6 +401,67 @@ void sa_traceback_sw_skewed(const int32_t* words, int64_t steps_pad,
 }
 
 // ---------------------------------------------------------------------------
+// Affine-gap (Gotoh) score-only fill — an extension beyond the linear-gap
+// reference: a gap run of length L costs open + (L-1)*extend, so
+// open == extend degenerates exactly to the linear engine.  Score and
+// (for local) the first row-major best cell, same strict-improvement
+// rule as the linear fill.  Traceback is not defined for affine mode.
+int32_t sa_fill_affine(int32_t algo, const int8_t* text, int64_t n,
+                       const int8_t* pattern, int64_t m,
+                       const int32_t* score_matrix, int32_t k,
+                       int32_t open, int32_t extend, int32_t* out_score,
+                       int64_t* out_best) {
+  const int64_t cols = n + 1;
+  const bool local = algo != 0;
+  const int32_t kNegInf = -(1 << 29);
+  int32_t* h_prev = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cols));
+  int32_t* h_curr = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cols));
+  int32_t* f_row = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cols));
+  if (!h_prev || !h_curr || !f_row) {
+    std::free(h_prev);
+    std::free(h_curr);
+    std::free(f_row);
+    return 1;
+  }
+  for (int64_t j = 0; j < cols; ++j) {
+    h_curr[j] =
+        local ? 0
+              : (j == 0 ? 0 : static_cast<int32_t>(-open - (j - 1) * extend));
+    f_row[j] = kNegInf;
+  }
+  int32_t max_score = 0;
+  int64_t max_idx = 0;
+  for (int64_t i = 1; i <= m; ++i) {
+    std::swap(h_prev, h_curr);
+    h_curr[0] =
+        local ? 0 : static_cast<int32_t>(-open - (i - 1) * extend);
+    int32_t e = kNegInf;
+    const int32_t* sub_row =
+        score_matrix + static_cast<int64_t>(pattern[i - 1]) * k;
+    for (int64_t j = 1; j < cols; ++j) {
+      e = std::max(e - extend, h_curr[j - 1] - open);
+      f_row[j] = std::max(f_row[j] - extend, h_prev[j] - open);
+      int32_t h = std::max(h_prev[j - 1] + sub_row[text[j - 1]],
+                           std::max(e, f_row[j]));
+      if (local) {
+        h = std::max(h, 0);
+        if (h > max_score) {
+          max_score = h;
+          max_idx = i * cols + j;
+        }
+      }
+      h_curr[j] = h;
+    }
+  }
+  *out_score = local ? max_score : h_curr[n];
+  *out_best = max_idx;
+  std::free(h_prev);
+  std::free(h_curr);
+  std::free(f_row);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Checkpointed-traceback support (ops/checkpoint.py): very long pairs
 // are filled score-only with tile boundary checkpoints; the traceback
 // re-fills only the tiles the optimal path crosses (directions are

@@ -14,13 +14,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .scan_engine import PAD_SCORE, nw_score, sw_score
+from .scan_engine import PAD_SCORE, affine_score_fill, nw_score, sw_score
 
 _INT = jnp.int32
 
 
 @functools.partial(jax.jit, static_argnames=("local",))
-def batch_score(texts, patterns, ns, ms, score_matrix, gap, local: bool = False):
+def batch_score(texts, patterns, ns, ms, score_matrix, gap,
+                local: bool = False, gap_extend=None):
     """Optimal scores for a padded batch of pairs.
 
     Args:
@@ -28,8 +29,11 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap, local: bool = False)
       patterns: (B, M_pad) int32 alphabet indices.
       ns, ms: (B,) real lengths.
       score_matrix: (K, K) int32, shared across the batch.
-      gap: scalar gap penalty.
+      gap: scalar gap penalty (affine: gap-open cost).
       local: Smith-Waterman when True, else Needleman-Wunsch.
+      gap_extend: when given, affine (Gotoh) gap costs — a run of length
+        L costs gap + (L-1)*gap_extend; requires gap >= gap_extend (the
+        row prefix-max identity needs it).  None = linear (reference).
 
     Returns (B,) int32 scores.
     """
@@ -40,6 +44,11 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap, local: bool = False)
     def one(text, pattern, n, m):
         profile = sm[:, text]
         profile = jnp.where(col < n, profile, PAD_SCORE)
+        if gap_extend is not None:
+            score, _ = affine_score_fill(
+                profile, pattern, gap, gap_extend, n, m, local=local
+            )
+            return score
         if local:
             return sw_score(profile, pattern, gap, n, m)
         return nw_score(profile, pattern, gap, n, m)

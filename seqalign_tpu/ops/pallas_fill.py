@@ -124,9 +124,9 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 
 
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
-                      sub_rows: int,
+                      sub_rows: int, affine: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
-                      out_ref, row_ref):
+                      out_ref, row_ref, f_ref):
     """Inter-pair batch fill: tile_pairs pairs per grid step, one pair
     per (sublane-row, lane) slot; DP cells walked sequentially per pair.
 
@@ -137,14 +137,23 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     Larger sub_rows amortize the per-cell dependency-chain latency over
     more vector registers.
     """
-    g = gap_ref[0, 0]
+    g = gap_ref[0, 0]   # gap penalty (affine: gap-open)
+    ge = gap_ref[0, 1]  # gap-extend (affine only)
     nvec = ns_ref[0]  # (sub_rows, 128)
     mvec = ms_ref[0]
     zero = jnp.zeros((sub_rows, 128), _INT)
+    neg = jnp.full((sub_rows, 128), NEG_INF // 2, _INT)
 
-    # Row 0: S[0, j] = 0 (local) / -g*j (global).
+    # Row 0: H[0, j] = 0 (local) / -g*j (global; affine: -g - j*ge).
     def init_col(j, _):
-        row_ref[j] = zero if local else (-g * (j + 1)) + zero
+        if local:
+            row_ref[j] = zero
+        elif affine:
+            row_ref[j] = (-g - ge * j) + zero
+        else:
+            row_ref[j] = (-g * (j + 1)) + zero
+        if affine:
+            f_ref[j] = neg
         return 0
 
     jax.lax.fori_loop(0, n_cols, init_col, 0)
@@ -165,11 +174,18 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             planes.append(cc)
 
         row_live = i <= mvec
-        s_i0 = zero if local else (-g * i) + zero
-        s_im1_0 = zero if local else (-g * (i - 1)) + zero
+        if local:
+            s_i0 = s_im1_0 = zero
+        elif affine:
+            # H[i, 0] = -(open + (i-1)*extend); H[0, 0] = 0.
+            s_i0 = (-g - ge * (i - 1)) + zero
+            s_im1_0 = jnp.where(i == 1, zero, (-g - ge * (i - 2)) + zero)
+        else:
+            s_i0 = (-g * i) + zero
+            s_im1_0 = (-g * (i - 1)) + zero
 
         def cell_step(j, carry):
-            left, diag_carry, acc = carry
+            left, diag_carry, e, acc = carry
             text_j = texts_ref[j]
             if _use_packed_subs(k_alpha):
                 sub = _packed_lookup(planes, text_j)
@@ -178,7 +194,15 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 for c in range(k_alpha - 1):
                     sub = jnp.where(text_j == c, planes[c], sub)
             prev_j = row_ref[j]
-            cur = jnp.maximum(diag_carry + sub, jnp.maximum(prev_j, left) - g)
+            if affine:
+                e = jnp.maximum(e - ge, left - g)
+                f = jnp.maximum(f_ref[j] - ge, prev_j - g)
+                f_ref[j] = f
+                cur = jnp.maximum(diag_carry + sub, jnp.maximum(e, f))
+            else:
+                cur = jnp.maximum(
+                    diag_carry + sub, jnp.maximum(prev_j, left) - g
+                )
             if local:
                 cur = jnp.maximum(cur, 0)
             row_ref[j] = cur
@@ -188,7 +212,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             else:
                 hit = jnp.logical_and(row_live, jnp.logical_and(i == mvec, j == nvec - 1))
                 acc = jnp.where(hit, cur, acc)
-            return cur, prev_j, acc
+            return cur, prev_j, e, acc
 
         # Mosaic fori supports only unroll=1/full; unroll manually to
         # amortize loop overhead over the 3-op cells.
@@ -201,8 +225,8 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 carry = cell_step(b * unroll + u, carry)
             return carry
 
-        _, _, acc = jax.lax.fori_loop(
-            0, n_cols // unroll, cell_block, (s_i0, s_im1_0, acc)
+        _, _, _, acc = jax.lax.fori_loop(
+            0, n_cols // unroll, cell_block, (s_i0, s_im1_0, neg, acc)
         )
         return acc
 
@@ -222,6 +246,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        k_alpha: int, local: bool = False,
                        tile_pairs: int | None = None,
+                       gap_extend=None,
                        interpret: bool = False):
     """Optimal scores for a padded batch (inter-pair Pallas kernel).
 
@@ -233,6 +258,9 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
       score_matrix: (K, K) int32; gap: scalar int32.
       k_alpha: static alphabet size; VMEM sizing favors small alphabets.
       local: Smith-Waterman when True.
+      gap_extend: when given, affine (Gotoh) gap costs — a run of length
+        L costs gap + (L-1)*gap_extend (``gap`` is then the open cost);
+        None keeps the reference's linear model.
 
     Returns (B,) int32 scores.
     """
@@ -265,20 +293,24 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
     pats_s = to_slots(patterns, m)
     ns_s = jnp.asarray(ns, _INT).reshape(num_tiles, 1, sub_rows, 128)
     ms_s = jnp.asarray(ms, _INT).reshape(num_tiles, 1, sub_rows, 128)
-    gap_arr = jnp.asarray(gap, _INT).reshape(1, 1)
+    affine = gap_extend is not None
+    gap_arr = jnp.stack(
+        [jnp.asarray(gap, _INT),
+         jnp.asarray(gap_extend if affine else gap, _INT)]
+    ).reshape(1, 2)
     if _use_packed_subs(k_alpha):
         sm = pack_score_matrix_traced(score_matrix, k_alpha)
     else:
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
     kernel = functools.partial(
-        _interpair_kernel, k_alpha, local, n, m, sub_rows
+        _interpair_kernel, k_alpha, local, n, m, sub_rows, affine
     )
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (k_alpha, sm.shape[1]), lambda t: (0, 0),
                 memory_space=pltpu.SMEM
@@ -290,7 +322,10 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         ],
         out_specs=pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((num_tiles, sub_rows, 128), _INT),
-        scratch_shapes=[pltpu.VMEM((n, sub_rows, 128), _INT)],
+        scratch_shapes=[
+            pltpu.VMEM((n, sub_rows, 128), _INT),
+            pltpu.VMEM((n if affine else 1, sub_rows, 128), _INT),
+        ],
         # Text/pattern blocks + row state scale with tile_pairs; lift the
         # compiler's default 16 MiB scoped-VMEM cap when they need more.
         compiler_params=pltpu.CompilerParams(

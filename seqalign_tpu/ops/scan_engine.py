@@ -216,6 +216,83 @@ def sw_fill(profile: jax.Array, pattern: jax.Array, gap: jax.Array,
     return dirs, best, best_idx
 
 
+@functools.partial(jax.jit, static_argnames=("local",))
+def affine_score_fill(profile: jax.Array, pattern: jax.Array,
+                      gap_open: jax.Array, gap_extend: jax.Array,
+                      n: jax.Array, m: jax.Array, local: bool = False):
+    """Affine-gap (Gotoh) score-only fill; a gap run of length L costs
+    open + (L-1)*extend (open == extend degenerates to the linear fill).
+
+    The in-row dependency generalizes the linear prefix-max identity:
+    with G[j] = max(diag + sub, F[j]) (and the j=0 boundary prepended),
+
+        H[j] = max(G[j], cummax_excl(G + extend*iota)[j]
+                         - open - extend*(j-1)),
+
+    which requires open >= extend (re-opening inside a run never helps).
+    F carries across rows elementwise.  Returns (score, best_flat_idx);
+    best is the first row-major maximum for local, 0 for global.
+    """
+    p = profile.shape[1] + 1
+    m_pad = pattern.shape[0]
+    go = jnp.asarray(gap_open, _INT)
+    ge = jnp.asarray(gap_extend, _INT)
+    n = jnp.asarray(n, _INT)
+    m = jnp.asarray(m, _INT)
+    neg = jnp.asarray(-(1 << 29), _INT)
+    jcol = jnp.arange(p, dtype=_INT)
+    ej = ge * jcol
+    col_valid = jcol <= n
+    if local:
+        row0 = jnp.zeros((p,), _INT)
+    else:
+        row0 = jnp.where(jcol == 0, 0, -go - ge * (jcol - 1))
+    f0 = jnp.full((p - 1,), neg, _INT)
+
+    def step(carry, xs):
+        prev, f, result, best, best_idx = carry
+        pat_i, i = xs
+        sub = jax.lax.dynamic_index_in_dim(profile, pat_i, keepdims=False)
+        f = jnp.maximum(f - ge, prev[1:] - go)
+        g = jnp.maximum(prev[:-1] + sub, f)
+        if local:
+            g = jnp.maximum(g, 0)
+            bound = jnp.zeros((1,), _INT)
+        else:
+            bound = (-go - ge * (i - 1))[None]
+        gx = jnp.concatenate([bound, g])
+        z = jax.lax.cummax(gx + ej)
+        excl = jnp.concatenate([neg[None], z[:-1]])
+        row = jnp.maximum(gx, excl - go - ge * (jcol - 1))
+        if local:
+            masked = jnp.where(
+                jnp.logical_and(col_valid, i <= m), row, PAD_SCORE
+            )
+            row_max = jnp.max(masked)
+            row_arg = jnp.argmax(masked).astype(_INT)
+            improved = row_max > best
+            best = jnp.where(improved, row_max, best)
+            best_idx = jnp.where(improved, i * p + row_arg, best_idx)
+        else:
+            result = jnp.where(
+                i == m,
+                jax.lax.dynamic_index_in_dim(row, n, keepdims=False),
+                result,
+            )
+        return (row, f, result, best, best_idx), None
+
+    xs = (pattern.astype(_INT), jnp.arange(1, m_pad + 1, dtype=_INT))
+    init_result = jax.lax.dynamic_index_in_dim(row0, n, keepdims=False)
+    (_, _, result, best, best_idx), _ = jax.lax.scan(
+        step,
+        (row0, f0, init_result, jnp.asarray(0, _INT), jnp.asarray(0, _INT)),
+        xs,
+    )
+    if local:
+        return best, best_idx
+    return result, jnp.asarray(0, _INT)
+
+
 def nw_score(profile, pattern, gap, n, m):
     """Score-only NW fill (O(row) memory; vmapped by the batch engine)."""
     _, score = nw_fill(profile, pattern, gap, n, m, with_dirs=False)

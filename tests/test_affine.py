@@ -1,0 +1,157 @@
+"""Affine-gap (Gotoh) scoring tests — an extension beyond the linear-gap
+reference; the native oracle (validated against a brute-force DP) is the
+contract.  A gap run of length L costs open + (L-1)*extend, so
+open == extend must reproduce the linear engine exactly."""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.native import bindings
+
+
+def _dna_sm():
+    return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+
+
+def _brute(text, pattern, sm, open_, ext, local):
+    neg = -(10**9)
+    n, m = len(text), len(pattern)
+    big_h = np.zeros((m + 1, n + 1), np.int64)
+    big_e = np.full((m + 1, n + 1), neg, np.int64)
+    big_f = np.full((m + 1, n + 1), neg, np.int64)
+    if not local:
+        for j in range(1, n + 1):
+            big_h[0, j] = -open_ - (j - 1) * ext
+        for i in range(1, m + 1):
+            big_h[i, 0] = -open_ - (i - 1) * ext
+    best = 0
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            big_e[i, j] = max(big_e[i, j - 1] - ext, big_h[i, j - 1] - open_)
+            big_f[i, j] = max(big_f[i - 1, j] - ext, big_h[i - 1, j] - open_)
+            h = max(
+                big_h[i - 1, j - 1] + sm[pattern[i - 1], text[j - 1]],
+                big_e[i, j],
+                big_f[i, j],
+            )
+            if local:
+                h = max(h, 0)
+                best = max(best, h)
+            big_h[i, j] = h
+    return best if local else big_h[m, n]
+
+
+def test_oracle_affine_vs_brute_force():
+    rng = np.random.default_rng(31)
+    sm = _dna_sm()
+    for trial in range(10):
+        n, m = int(rng.integers(3, 70)), int(rng.integers(3, 70))
+        open_, ext = int(rng.integers(1, 12)), int(rng.integers(1, 12))
+        local = bool(trial % 2)
+        t = rng.integers(0, 4, n).astype(np.int8)
+        p = rng.integers(0, 4, m).astype(np.int8)
+        got, _ = bindings.oracle_fill_affine(
+            1 if local else 0, t, p, sm, 4, open_, ext
+        )
+        assert got == _brute(t, p, sm, open_, ext, local)
+
+
+def test_oracle_affine_linear_degeneracy():
+    rng = np.random.default_rng(32)
+    sm = _dna_sm()
+    for local in (False, True):
+        for g in (1, 5, 9):
+            n, m = 120, 90
+            t = rng.integers(0, 4, n).astype(np.int8)
+            p = rng.integers(0, 4, m).astype(np.int8)
+            aff, _ = bindings.oracle_fill_affine(
+                1 if local else 0, t, p, sm, 4, g, g
+            )
+            _, lin, _ = bindings.oracle_fill(1 if local else 0, t, p, sm, 4, g)
+            assert aff == lin
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_scan_engine_affine_vs_oracle(local):
+    import jax.numpy as jnp
+
+    from seqalign_tpu.ops import scan_engine
+
+    rng = np.random.default_rng(33)
+    sm = _dna_sm()
+    for trial in range(4):
+        n, m = int(rng.integers(10, 400)), int(rng.integers(10, 300))
+        ext = int(rng.integers(1, 6))
+        open_ = ext + int(rng.integers(0, 9))  # prefix-max needs open >= ext
+        t = rng.integers(0, 4, n).astype(np.int32)
+        p = rng.integers(0, 4, m).astype(np.int32)
+        width = scan_engine.padded_width(n)
+        prof = scan_engine.build_profile(jnp.asarray(t), jnp.asarray(sm), width)
+        pat = jnp.asarray(
+            scan_engine.pad_pattern(p, scan_engine.padded_rows(m))
+        )
+        got, bidx = scan_engine.affine_score_fill(
+            prof, pat, open_, ext, n, m, local=local
+        )
+        want, obest = bindings.oracle_fill_affine(
+            1 if local else 0, t.astype(np.int8), p.astype(np.int8),
+            sm, 4, open_, ext,
+        )
+        assert int(got) == want
+        if local and want > 0:
+            assert (int(bidx) // width, int(bidx) % width) == (
+                obest // (n + 1), obest % (n + 1)
+            )
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_pallas_batch_affine_vs_oracle(local, monkeypatch):
+    import jax
+    import jax.numpy as jnp
+
+    from seqalign_tpu.ops.pallas_fill import batch_score_pallas
+
+    rng = np.random.default_rng(34)
+    sm = _dna_sm()
+    b, n, m = 128, 96, 64
+    texts = rng.integers(0, 4, (b, n)).astype(np.int32)
+    patterns = rng.integers(0, 4, (b, m)).astype(np.int32)
+    ns = rng.integers(n // 2, n + 1, b).astype(np.int32)
+    ms = rng.integers(m // 2, m + 1, b).astype(np.int32)
+    open_, ext = 7, 2
+    out = np.asarray(jax.device_get(batch_score_pallas(
+        jnp.asarray(texts), jnp.asarray(patterns), jnp.asarray(ns),
+        jnp.asarray(ms), jnp.asarray(sm), open_,
+        k_alpha=4, local=local, gap_extend=ext, interpret=True,
+    )))
+    for idx in rng.integers(0, b, 12):
+        want, _ = bindings.oracle_fill_affine(
+            1 if local else 0,
+            texts[idx, : ns[idx]].astype(np.int8),
+            patterns[idx, : ms[idx]].astype(np.int8),
+            sm, 4, open_, ext,
+        )
+        assert out[idx] == want, int(idx)
+
+
+def test_batch_aligner_affine():
+    # Public API path on the virtual CPU mesh (XLA engine).
+    from seqalign_tpu.parallel.batch import BatchAligner
+
+    rng = np.random.default_rng(35)
+    sm = _dna_sm()
+    texts = [rng.integers(0, 4, int(rng.integers(20, 120))) for _ in range(9)]
+    pats = [rng.integers(0, 4, int(rng.integers(20, 120))) for _ in range(9)]
+    aligner = BatchAligner(sm, 4, gap_penalty=6, gap_extend=2, local=True)
+    scores = aligner.score(texts, pats)
+    for i in range(9):
+        t, p = texts[i], pats[i]
+        if t.shape[0] < p.shape[0]:
+            t, p = p, t
+        want, _ = bindings.oracle_fill_affine(
+            1, t.astype(np.int8), p.astype(np.int8), sm, 4, 6, 2
+        )
+        assert scores[i] == want, i
+
+    with pytest.raises(ValueError):
+        BatchAligner(sm, 4, gap_penalty=1, gap_extend=2)
