@@ -68,6 +68,11 @@ def _library() -> ctypes.CDLL:
         lib.sa_fill_affine.argtypes = [
             i32, i8p, i64, i8p, i64, i32p, i32, i32, i32, pi32, pi64,
         ]
+        lib.sa_align_affine.restype = i32
+        lib.sa_align_affine.argtypes = [
+            i32, i8p, i64, i8p, i64, i32p, i32, i32, i32,
+            u8p, u8p, pi64, pi64, pi64, pi32,
+        ]
         lib.sa_walk_packed_window.restype = i64
         lib.sa_walk_packed_window.argtypes = [
             i32p, i64, i64, i64, i32, pi64, pi64, u8p, i64, pi32,
@@ -270,6 +275,49 @@ def oracle_fill_affine(
     if rc != 0:
         raise MemoryError("native oracle: allocation failed")
     return out_score.value, out_best.value
+
+
+def oracle_align_affine(
+    algo: int,
+    text: np.ndarray,
+    pattern: np.ndarray,
+    score_matrix: np.ndarray,
+    alphabet_size: int,
+    gap_open: int,
+    gap_extend: int,
+) -> Tuple[np.ndarray, np.ndarray, int, int, int]:
+    """Full affine-gap (Gotoh) alignment — extension beyond the linear
+    reference; needs 12 bytes/cell of host RAM.  Returns
+    (aligned_text_idx, aligned_pattern_idx, start_text, start_pattern,
+    score)."""
+    lib = _library()
+    text = _as_i8(text)
+    pattern = _as_i8(pattern)
+    n, m = text.shape[0], pattern.shape[0]
+    out_text = np.empty(n + m + 1, dtype=np.uint8)
+    out_pattern = np.empty(n + m + 1, dtype=np.uint8)
+    out_len = ctypes.c_int64()
+    out_st = ctypes.c_int64()
+    out_sp = ctypes.c_int64()
+    out_score = ctypes.c_int32()
+    rc = lib.sa_align_affine(
+        algo, text, n, pattern, m,
+        _as_matrix(score_matrix, alphabet_size), alphabet_size,
+        gap_open, gap_extend,
+        out_text, out_pattern,
+        ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        ctypes.byref(out_score),
+    )
+    if rc != 0:
+        raise MemoryError("native oracle: allocation failed")
+    k = out_len.value
+    return (
+        out_text[:k].copy(),
+        out_pattern[:k].copy(),
+        out_st.value,
+        out_sp.value,
+        out_score.value,
+    )
 
 
 def walk_packed_window(

@@ -461,6 +461,147 @@ int32_t sa_fill_affine(int32_t algo, const int8_t* text, int64_t n,
   return 0;
 }
 
+// Affine-gap full alignment (score + traceback).  Three-state Gotoh
+// walk over full H/E/F matrices (12 bytes/cell — the affine CPU path
+// caps out earlier than the 1-byte linear matrix).  Tie policy, defined
+// by this oracle (no reference analog): in state H a gap state wins
+// unless the diagonal is strictly greater, E (LEFT) beating F (TOP) on
+// ties — mirroring the linear policy; inside a gap state, ties between
+// extending and closing the run close it (switch back to H).
+int32_t sa_align_affine(int32_t algo, const int8_t* text, int64_t n,
+                        const int8_t* pattern, int64_t m,
+                        const int32_t* score_matrix, int32_t k,
+                        int32_t open, int32_t extend, uint8_t* out_text,
+                        uint8_t* out_pattern, int64_t* out_len,
+                        int64_t* out_start_text, int64_t* out_start_pattern,
+                        int32_t* out_score) {
+  const int64_t cols = n + 1;
+  const bool local = algo != 0;
+  const int32_t kNegInf = -(1 << 29);
+  const int64_t cells = (m + 1) * cols;
+  int32_t* H = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cells));
+  int32_t* E = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cells));
+  int32_t* F = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cells));
+  if (!H || !E || !F) {
+    std::free(H);
+    std::free(E);
+    std::free(F);
+    return 1;
+  }
+  H[0] = 0;
+  for (int64_t j = 1; j <= n; ++j) {
+    H[j] = local ? 0 : static_cast<int32_t>(-open - (j - 1) * extend);
+    E[j] = kNegInf;
+    F[j] = kNegInf;
+  }
+  E[0] = kNegInf;
+  F[0] = kNegInf;
+  int32_t max_score = 0;
+  int64_t max_i = 0, max_j = 0;
+  for (int64_t i = 1; i <= m; ++i) {
+    int32_t* h = H + i * cols;
+    int32_t* e = E + i * cols;
+    int32_t* f = F + i * cols;
+    const int32_t* hp = H + (i - 1) * cols;
+    const int32_t* fp = F + (i - 1) * cols;
+    h[0] = local ? 0 : static_cast<int32_t>(-open - (i - 1) * extend);
+    e[0] = kNegInf;
+    f[0] = kNegInf;
+    const int32_t* sub_row =
+        score_matrix + static_cast<int64_t>(pattern[i - 1]) * k;
+    for (int64_t j = 1; j <= n; ++j) {
+      e[j] = std::max(e[j - 1] - extend, h[j - 1] - open);
+      f[j] = std::max(fp[j] - extend, hp[j] - open);
+      int32_t v = std::max(hp[j - 1] + sub_row[text[j - 1]],
+                           std::max(e[j], f[j]));
+      if (local) {
+        v = std::max(v, 0);
+        if (v > max_score) {
+          max_score = v;
+          max_i = i;
+          max_j = j;
+        }
+      }
+      h[j] = v;
+    }
+  }
+
+  int64_t i = local ? max_i : m;
+  int64_t j = local ? max_j : n;
+  *out_score = local ? max_score : H[m * cols + n];
+  int64_t len = 0;
+  int state = 0;  // 0 = H, 1 = E (LEFT run), 2 = F (TOP run)
+  while (true) {
+    if (state == 0) {
+      if (local && (i == 0 || j == 0 || H[i * cols + j] == 0)) break;
+      if (!local && i == 0 && j == 0) break;
+      uint8_t dir;
+      if (j == 0) {
+        dir = kTop;
+      } else if (i == 0) {
+        dir = kLeft;
+      } else {
+        const int32_t v = H[i * cols + j];
+        const int32_t gap_best =
+            std::max(E[i * cols + j], F[i * cols + j]);
+        const int32_t diag =
+            H[(i - 1) * cols + (j - 1)] +
+            score_matrix[static_cast<int64_t>(pattern[i - 1]) * k +
+                         text[j - 1]];
+        if (diag == v && diag > gap_best) {
+          dir = kDiag;
+        } else if (E[i * cols + j] == v) {
+          state = 1;
+          continue;
+        } else if (F[i * cols + j] == v) {
+          state = 2;
+          continue;
+        } else {
+          dir = kDiag;  // diag == v tie with a gap state below it
+        }
+      }
+      emit(text, pattern, k, dir, j - 1, i - 1, out_text, out_pattern,
+           len++);
+      if (dir == kDiag || dir == kLeft) --j;
+      if (dir == kDiag || dir == kTop) --i;
+    } else if (state == 1) {
+      emit(text, pattern, k, kLeft, j - 1, i - 1, out_text, out_pattern,
+           len++);
+      const int32_t v = E[i * cols + j];
+      --j;
+      // Close the run on ties (prefer H) — our documented policy.
+      if (j > 0 && H[i * cols + j] - open == v) {
+        state = 0;
+      } else if (j > 0 && E[i * cols + j] - extend == v) {
+        state = 1;
+      } else {
+        state = 0;
+      }
+    } else {
+      emit(text, pattern, k, kTop, j - 1, i - 1, out_text, out_pattern,
+           len++);
+      const int32_t v = F[i * cols + j];
+      --i;
+      if (i > 0 && H[i * cols + j] - open == v) {
+        state = 0;
+      } else if (i > 0 && F[i * cols + j] - extend == v) {
+        state = 2;
+      } else {
+        state = 0;
+      }
+    }
+  }
+  *out_len = len;
+  *out_start_text = j > 0 ? j : 0;
+  *out_start_pattern = i > 0 ? i : 0;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+  std::free(H);
+  std::free(E);
+  std::free(F);
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Checkpointed-traceback support (ops/checkpoint.py): very long pairs
 // are filled score-only with tile boundary checkpoints; the traceback

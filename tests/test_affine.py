@@ -134,6 +134,62 @@ def test_pallas_batch_affine_vs_oracle(local, monkeypatch):
         assert out[idx] == want, int(idx)
 
 
+def _affine_path_score(at, ap, sm, open_, ext, gap_idx=4):
+    """Re-score an emitted alignment under affine gap costs."""
+    score = 0
+    run_t = run_p = 0
+    for a, b in zip(at.tolist(), ap.tolist()):
+        if a == gap_idx:
+            score -= open_ if run_t == 0 else ext
+            run_t += 1
+            run_p = 0
+        elif b == gap_idx:
+            score -= open_ if run_p == 0 else ext
+            run_p += 1
+            run_t = 0
+        else:
+            score += int(sm[b, a])
+            run_t = run_p = 0
+    return score
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_oracle_affine_traceback(local):
+    # The emitted alignment must re-score to the optimal affine score,
+    # and its non-gap characters must reconstruct the claimed subsequence
+    # windows of the inputs (a valid optimal path, independent of which
+    # optimum the tie policy picks).
+    rng = np.random.default_rng(37)
+    sm = _dna_sm()
+    for trial in range(8):
+        n, m = int(rng.integers(10, 150)), int(rng.integers(10, 150))
+        ext = int(rng.integers(1, 5))
+        open_ = ext + int(rng.integers(0, 8))
+        t = rng.integers(0, 4, n).astype(np.int8)
+        p = rng.integers(0, 4, m).astype(np.int8)
+        at, ap, st, sp, score = bindings.oracle_align_affine(
+            1 if local else 0, t, p, sm, 4, open_, ext
+        )
+        want, _ = bindings.oracle_fill_affine(
+            1 if local else 0, t, p, sm, 4, open_, ext
+        )
+        assert score == want
+        assert _affine_path_score(at, ap, sm, open_, ext) == want
+        t_sub = at[at != 4]
+        p_sub = ap[ap != 4]
+        if local:
+            np.testing.assert_array_equal(
+                t_sub, t[st : st + t_sub.shape[0]].astype(np.uint8)
+            )
+            np.testing.assert_array_equal(
+                p_sub, p[sp : sp + p_sub.shape[0]].astype(np.uint8)
+            )
+        else:
+            assert (st, sp) == (0, 0)
+            np.testing.assert_array_equal(t_sub, t.astype(np.uint8))
+            np.testing.assert_array_equal(p_sub, p.astype(np.uint8))
+
+
 def test_batch_aligner_affine():
     # Public API path on the virtual CPU mesh (XLA engine).
     from seqalign_tpu.parallel.batch import BatchAligner
