@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants
-from ..native import bindings
 from ..ops import pallas_fill
 from .timing import device_seconds_per_call, wall_seconds
 

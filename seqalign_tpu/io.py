@@ -14,7 +14,6 @@ from typing import Optional, TextIO
 
 import numpy as np
 
-from . import constants
 from .types import Request
 
 # Vectorized normalization tables -------------------------------------------

@@ -32,7 +32,6 @@ from .. import config
 from . import pallas_fill
 from .pallas_fill import (
     DIR_ROWS_PER_WORD,
-    NEG_INF,
     PAD_SCORE,
     ROWS_PER_STEP,
     SUBLANES,

@@ -43,7 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_fill import (
     NEG_INF,
     SUB_BIAS,
-    SUBLANES,
     pack_score_matrix,
     pack_score_matrix_traced,
 )
