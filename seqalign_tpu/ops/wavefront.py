@@ -1,17 +1,19 @@
 """Skewed-wavefront single-pair fill kernel (R-row blocked).
 
 The fastest single-pair engine: a systolic mapping where vector slot
-s (of 1024 = 8 sublanes x 128 lanes) owns R consecutive DP rows
-(i0 + R*s + 1 .. i0 + R*s + R) and the sweep variable t advances
-columns — at step t, slot s computes column j = t-s+1 for all of its R
-rows.  In-slot rows chain without any data movement, and only the
-block-edge row needs the neighboring slot's value, so one step costs
-two slot-shifts (cross-lane rolls, the expensive ops on the VPU) +
-~18*R cheap elementwise ops for R*1024 cells.  This is the TPU-native
-expression of the reference's anti-diagonal wavefront
-(cuda_fillMatrixNW, alignSequenceGPU.cu:73-178), with the inter-chunk
-spin-lock protocol replaced by a bottom-row stream carried to the next
-strip.
+s (of ``slots``, default 1024 = 8 sublane-rows x 128 lanes) owns R
+consecutive DP rows (i0 + R*s + 1 .. i0 + R*s + R) and the sweep
+variable t advances columns — at step t, slot s computes column
+j = t-s+1 for all of its R rows.  In-slot rows chain without any data
+movement, and only the block-edge row needs the neighboring slot's
+value, so one step costs two slot-shifts (cross-lane rolls, the
+expensive ops on the VPU) + ~18*R cheap elementwise ops for R*slots
+cells.  Score-only callers widen slots (4096 = 32 sublane-rows per
+vector op) to amortize the sequential row chain's latency — 2x
+measured.  This is the TPU-native expression of the reference's
+anti-diagonal wavefront (cuda_fillMatrixNW, alignSequenceGPU.cu:73-178),
+with the inter-chunk spin-lock protocol replaced by a bottom-row stream
+carried to the next strip.
 
 Boundary trick: slots not yet reached by the wave (j < 1) hold the DP
 boundary column S[i, 0] in their state, so the frontier needs no
