@@ -112,7 +112,9 @@ def cmd_latency(args) -> None:
 
     rng = np.random.default_rng(1)
     sm = _blosum50()
-    sizes = [(4096, 4096), (16384, 16384)]
+    # 65536^2 is the reference's headline latency size
+    # (benchmark_latency_tesla.out: 3702 ms global on a V100).
+    sizes = [(4096, 4096), (16384, 16384), (65536, 65536)]
     print("End-to-end latency (fill + transfer + traceback), best of 3")
     print(f"{'size':>16} {'algo':>8} {'tpu ms':>10} {'cpu ms':>12}")
     for n, m in sizes:
