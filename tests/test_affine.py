@@ -134,6 +134,40 @@ def test_pallas_batch_affine_vs_oracle(local, monkeypatch):
         assert out[idx] == want, int(idx)
 
 
+def test_pallas_batch_affine_protein():
+    # Protein alphabet: affine recurrence composed with the packed-byte
+    # substitution planes.
+    import jax
+    import jax.numpy as jnp
+
+    from seqalign_tpu import constants
+    from seqalign_tpu.io import parse_score_matrix_file
+    from seqalign_tpu.ops.pallas_fill import batch_score_pallas
+
+    sm_full = np.zeros((24, 24), dtype=np.int32)
+    parse_score_matrix_file(
+        constants.DEFAULT_PROTEIN_SCORE_MATRIX_FILE, 23, sm_full
+    )
+    sm = sm_full[:23, :23]
+    rng = np.random.default_rng(38)
+    b, n, m = 128, 96, 64
+    texts = rng.integers(0, 23, (b, n)).astype(np.int32)
+    patterns = rng.integers(0, 23, (b, m)).astype(np.int32)
+    ns = np.full(b, n, np.int32)
+    ms = np.full(b, m, np.int32)
+    out = np.asarray(jax.device_get(batch_score_pallas(
+        jnp.asarray(texts), jnp.asarray(patterns), jnp.asarray(ns),
+        jnp.asarray(ms), jnp.asarray(sm), 11,
+        k_alpha=23, local=True, gap_extend=1, interpret=True,
+    )))
+    for idx in rng.integers(0, b, 8):
+        want, _ = bindings.oracle_fill_affine(
+            1, texts[idx].astype(np.int8), patterns[idx].astype(np.int8),
+            sm, 23, 11, 1,
+        )
+        assert out[idx] == want, int(idx)
+
+
 def _affine_path_score(at, ap, sm, open_, ext, gap_idx=4):
     """Re-score an emitted alignment under affine gap costs."""
     score = 0
