@@ -60,27 +60,27 @@ def _pair_fill_seconds(n, m, local, rng, sm) -> float:
     from ..ops import wavefront as wf
 
     text = _random_protein(rng, n)
-    steps_pad = -(-(n + wf.SLOTS - 1) // wf.STEPS) * wf.STEPS
+    rps, slots = 4, 4096  # wide geometry (same 16384-row strips)
+    steps_pad = -(-(n + slots - 1) // wf.STEPS) * wf.STEPS
     nb = steps_pad // wf.STEPS
     ts = jnp.asarray(
         np.pad(text, (0, steps_pad - n)).reshape(nb, wf.STEPS)
     )
     bot = jnp.zeros((nb, wf.STEPS), jnp.int32)
-    rps = wf.ROWS_PER_SLOT
     pat = jnp.asarray(
-        _random_protein(rng, rps * wf.SLOTS).reshape(rps, 8, 128)
+        _random_protein(rng, rps * slots).reshape(rps, slots // 128, 128)
     )
     sm_j = jnp.asarray(sm)
 
     def call(perturb):
         dirs, bo, rm, aj, sn, _ = wf.wavefront_strip(
             ts, bot, pat, sm_j, 5 + perturb, n, m, 0,
-            k_alpha=23, local=local, with_dirs=True, rps=rps,
+            k_alpha=23, local=local, with_dirs=True, rps=rps, slots=slots,
         )
         return rm
 
     per_strip = device_seconds_per_call(call, reps=NUM_REPEATS)
-    num_strips = -(-m // (rps * wf.SLOTS))
+    num_strips = -(-m // (rps * slots))
     return per_strip * num_strips
 
 

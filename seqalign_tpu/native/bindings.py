@@ -56,12 +56,12 @@ def _library() -> ctypes.CDLL:
         ]
         lib.sa_traceback_nw_skewed.restype = None
         lib.sa_traceback_nw_skewed.argtypes = [
-            i32p, i64, i64, i64, i64, i8p, i8p, i32,
+            i32p, i64, i64, i64, i64, i64, i8p, i8p, i32,
             u8p, u8p, pi64, pi64, pi64,
         ]
         lib.sa_traceback_sw_skewed.restype = None
         lib.sa_traceback_sw_skewed.argtypes = [
-            i32p, i64, i64, i64, i64, i8p, i8p, i32,
+            i32p, i64, i64, i64, i64, i64, i8p, i8p, i32,
             u8p, u8p, pi64, pi64, pi64,
         ]
         lib.sa_fill_affine.restype = i32
@@ -215,11 +215,12 @@ def traceback_skewed(
     best_i: int = 0,
     best_j: int = 0,
     rps: int = 8,
+    slots: int = 1024,
 ) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Traceback over the wavefront kernel's skewed word format.
 
-    ``words`` is (num_strips, steps_pad/16 * rps, 1024) int32; rps is the
-    kernel's rows-per-slot blocking factor.
+    ``words`` is (num_strips, steps_pad/16 * rps, slots) int32; rps/slots
+    are the kernel's rows-per-slot and slot-width blocking factors.
     """
     lib = _library()
     words = np.ascontiguousarray(words, dtype=np.int32)
@@ -234,13 +235,13 @@ def traceback_skewed(
     flat = words.reshape(-1)
     if algo == 0:
         lib.sa_traceback_nw_skewed(
-            flat, steps_pad, rps, n, m, text, pattern, alphabet_size,
+            flat, steps_pad, rps, slots, n, m, text, pattern, alphabet_size,
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
         )
     else:
         lib.sa_traceback_sw_skewed(
-            flat, steps_pad, rps, best_i, best_j, text, pattern,
+            flat, steps_pad, rps, slots, best_i, best_j, text, pattern,
             alphabet_size,
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),

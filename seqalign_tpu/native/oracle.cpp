@@ -312,34 +312,34 @@ void sa_traceback_sw_packed(const int32_t* words, int64_t p_cols, int64_t bi,
 
 // ---------------------------------------------------------------------------
 // Skewed-word tracebacks for the wavefront kernel's output format:
-// strip c = (i-1)/1024 owns rows c*1024+1..(c+1)*1024 on slots
-// s = (i-1)%1024; the sweep step of cell (i, j) is t = j-1+s, and word
-// (c, t/16, s) holds its 2-bit direction at bit 2*(t%16).
+// strip c = (i-1)/(rps*slots) owns rows of slots s = ((i-1)%(rps*slots))/rps;
+// the sweep step of cell (i, j) is t = j-1+s, and word (c, (t/16)*rps+r, s)
+// holds its 2-bit direction at bit 2*(t%16).
 
 namespace {
 
 inline uint8_t skewed_dir(const int32_t* words, int64_t words_per_strip,
-                          int64_t rps, int64_t i, int64_t j) {
-  const int64_t ri = (i - 1) % (rps << 10);
-  const int64_t c = (i - 1) / (rps << 10);
+                          int64_t rps, int64_t slots, int64_t i, int64_t j) {
+  const int64_t ri = (i - 1) % (rps * slots);
+  const int64_t c = (i - 1) / (rps * slots);
   const int64_t s = ri / rps;
   const int64_t r = ri % rps;
   const int64_t t = j - 1 + s;
   const int32_t w =
-      words[c * words_per_strip + (((t >> 4) * rps + r) << 10) + s];
+      words[c * words_per_strip + ((t >> 4) * rps + r) * slots + s];
   return static_cast<uint8_t>((w >> (2 * (t & 15))) & 3);
 }
 
 }  // namespace
 
 void sa_traceback_nw_skewed(const int32_t* words, int64_t steps_pad,
-                            int64_t rps, int64_t n, int64_t m,
+                            int64_t rps, int64_t slots, int64_t n, int64_t m,
                             const int8_t* text, const int8_t* pattern,
                             int32_t k, uint8_t* out_text,
                             uint8_t* out_pattern, int64_t* out_len,
                             int64_t* out_start_text,
                             int64_t* out_start_pattern) {
-  const int64_t wps = (steps_pad >> 4) * rps * 1024;
+  const int64_t wps = (steps_pad >> 4) * rps * slots;
   int64_t i = m;
   int64_t j = n;
   int64_t ti = n - 1;
@@ -352,7 +352,7 @@ void sa_traceback_nw_skewed(const int32_t* words, int64_t steps_pad,
     } else if (i == 0) {
       dir = kLeft;
     } else {
-      dir = skewed_dir(words, wps, rps, i, j);
+      dir = skewed_dir(words, wps, rps, slots, i, j);
     }
     emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, len++);
     if (dir == kDiag || dir == kLeft) {
@@ -372,20 +372,21 @@ void sa_traceback_nw_skewed(const int32_t* words, int64_t steps_pad,
 }
 
 void sa_traceback_sw_skewed(const int32_t* words, int64_t steps_pad,
-                            int64_t rps, int64_t bi, int64_t bj,
+                            int64_t rps, int64_t slots, int64_t bi,
+                            int64_t bj,
                             const int8_t* text, const int8_t* pattern,
                             int32_t k, uint8_t* out_text,
                             uint8_t* out_pattern, int64_t* out_len,
                             int64_t* out_start_text,
                             int64_t* out_start_pattern) {
-  const int64_t wps = (steps_pad >> 4) * rps * 1024;
+  const int64_t wps = (steps_pad >> 4) * rps * slots;
   int64_t i = bi;
   int64_t j = bj;
   int64_t ti = bj - 1;
   int64_t pi = bi - 1;
   int64_t len = 0;
-  while (i > 0 && j > 0 && skewed_dir(words, wps, rps, i, j) != kStop) {
-    const uint8_t dir = skewed_dir(words, wps, rps, i, j);
+  while (i > 0 && j > 0 && skewed_dir(words, wps, rps, slots, i, j) != kStop) {
+    const uint8_t dir = skewed_dir(words, wps, rps, slots, i, j);
     emit(text, pattern, k, dir, ti, pi, out_text, out_pattern, len++);
     if (dir == kDiag || dir == kLeft) --j;
     if (dir == kDiag || dir == kTop) --i;

@@ -303,9 +303,8 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
       gap, n, m, i0: scalars.
       slots: vector slots per strip (multiple of 128).  Wider slots
         amortize the sequential per-step row chain over more vector
-        registers — the score-only paths default to 4096 via
-        ops/checkpoint.py; the skewed direction format is pinned to
-        1024 (with_dirs requires it).
+        registers (4096 measures ~2x over 1024); the skewed direction
+        format and its walkers take the same slots factor.
 
     Returns (dirs, bottom_out, rowmax, argj, snap, ckpts):
       dirs: (num_blocks*STEPS/16*rps, 8, 128) skewed words — word
@@ -329,9 +328,6 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         ckpt_every >= slots + DIR_STEPS_PER_WORD
         and (ckpt_every & (ckpt_every - 1)) == 0
     ), "ckpt_every must be a power of two >= slots + 16"
-    assert not with_dirs or slots == SLOTS, (
-        "the skewed direction format assumes 1024 slots"
-    )
     srows = slots // 128
 
     scal = jnp.stack(

@@ -11,10 +11,10 @@ def _dna_sm():
     return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
 
 
-def _skew_dirs(words, steps_pad, rps, m, n):
+def _skew_dirs(words, steps_pad, rps, m, n, slots=SLOTS):
     """Decode the skewed word format into (m, n) direction bytes."""
     out = np.empty((m, n), dtype=np.int32)
-    rows = strip_rows(rps)
+    rows = rps * slots
     for i in range(1, m + 1):
         c = (i - 1) // rows
         ri = (i - 1) % rows
@@ -180,3 +180,40 @@ def test_wavefront_wide_slots_score(local):
         .transpose(0, 2, 1).reshape(num_ckpts, rps * slots)[0]
     )
     np.testing.assert_array_equal(got[:m].astype(np.int64), want)
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_wavefront_wide_slots_dirs(local):
+    # Widened-slot fill WITH the direction stream: the skewed format and
+    # its walkers take the slot width as a factor.
+    slots, rps = 256, 2
+    rng = np.random.default_rng(29)
+    sm = _dna_sm()
+    n, m = 700, 1100  # crosses a 512-row strip boundary
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+
+    score, bi, bj, words, steps_pad = wavefront_fill(
+        text, pattern, sm, 4, 5, local=local, with_dirs=True, rps=rps,
+        slots=slots, interpret=True,
+    )
+    odirs, oscore, obest = bindings.oracle_fill(
+        1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
+        sm, 4, 5,
+    )
+    assert score == oscore
+    np.testing.assert_array_equal(
+        _skew_dirs(words, steps_pad, rps, m, n, slots=slots),
+        odirs[1:, 1:],
+    )
+    at, ap, st, sp = bindings.traceback_skewed(
+        1 if local else 0, words, steps_pad, text, pattern, 4,
+        best_i=bi, best_j=bj, rps=rps, slots=slots,
+    )
+    oat, oap, ost, osp, _ = bindings.oracle_align(
+        1 if local else 0, text.astype(np.int8), pattern.astype(np.int8),
+        sm, 4, 5,
+    )
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
