@@ -28,7 +28,11 @@ def _indices_to_letters(indices: np.ndarray, alphabet: tuple[str, ...]) -> str:
 
 
 def _algo_code(alignment_type: AlignmentType) -> int:
-    return 0 if alignment_type is AlignmentType.GLOBAL else 1
+    if alignment_type is AlignmentType.GLOBAL:
+        return 0
+    if alignment_type is AlignmentType.SEMI_GLOBAL:
+        return 2
+    return 1
 
 
 def align_cpu(request: Request, response: Response,

@@ -29,6 +29,10 @@ _FLAG_MAP = {
     "-p": ("sequence", SequenceType.PROTEIN),
     "--global": ("alignment", AlignmentType.GLOBAL),
     "--local": ("alignment", AlignmentType.LOCAL),
+    # Extension: the reference declares SEMI_GLOBAL but maps no flag to
+    # it (SequenceAlignment.hpp:17, :23-32); the usage/error strings stay
+    # byte-identical to the reference.
+    "--semi-global": ("alignment", AlignmentType.SEMI_GLOBAL),
     "--score-matrix": ("score_matrix", None),
     "-s": ("score_matrix", None),
     "--gap-penalty": ("gap_penalty", None),

@@ -7,6 +7,12 @@ pairwise aligner.  Two families, mirroring the reference's capabilities:
   alignSequenceCPU.cpp:203-284, alignSequenceGPU.cu:73-178).
 * :class:`SmithWaterman` — local alignment (reference:
   alignSequenceCPU.cpp:116-201, alignSequenceGPU.cu:219-353).
+
+Plus one extension the reference declares but never implements
+(SequenceAlignment.hpp:17 lists SEMI_GLOBAL with no CLI flag or engine):
+
+* :class:`SemiGlobal` — "fit" alignment: pattern aligned globally, text
+  end-gaps free.
 """
 
 from __future__ import annotations
@@ -14,10 +20,12 @@ from __future__ import annotations
 from ..constants import AlignmentType
 from .base import AlignmentResult, PairAligner
 from .needleman_wunsch import NeedlemanWunsch
+from .semi_global import SemiGlobal
 from .smith_waterman import SmithWaterman
 
 _GLOBAL = NeedlemanWunsch()
 _LOCAL = SmithWaterman()
+_SEMI = SemiGlobal()
 
 
 def aligner_for(alignment_type: AlignmentType) -> PairAligner:
@@ -25,6 +33,8 @@ def aligner_for(alignment_type: AlignmentType) -> PairAligner:
         return _GLOBAL
     if alignment_type is AlignmentType.LOCAL:
         return _LOCAL
+    if alignment_type is AlignmentType.SEMI_GLOBAL:
+        return _SEMI
     raise NotImplementedError(f"{alignment_type} not implemented")
 
 
@@ -32,6 +42,7 @@ __all__ = [
     "AlignmentResult",
     "PairAligner",
     "NeedlemanWunsch",
+    "SemiGlobal",
     "SmithWaterman",
     "aligner_for",
 ]

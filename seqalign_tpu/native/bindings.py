@@ -46,6 +46,10 @@ def _library() -> ctypes.CDLL:
         lib.sa_traceback_sw.argtypes = [
             u8p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
         ]
+        lib.sa_traceback_semi.restype = None
+        lib.sa_traceback_semi.argtypes = [
+            u8p, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
+        ]
         lib.sa_traceback_nw_packed.restype = None
         lib.sa_traceback_nw_packed.argtypes = [
             i32p, i64, i64, i64, i8p, i8p, i32, u8p, u8p, pi64, pi64, pi64,
@@ -106,7 +110,7 @@ def oracle_align(
     """Full native alignment.
 
     Returns (aligned_text_idx, aligned_pattern_idx, start_text,
-    start_pattern, score).  ``algo``: 0 global, 1 local.
+    start_pattern, score).  ``algo``: 0 global, 1 local, 2 semi-global.
     """
     lib = _library()
     text = _as_i8(text)
@@ -192,6 +196,12 @@ def traceback(
         start = pattern.shape[0] * cols + text.shape[0]
         lib.sa_traceback_nw(
             flat, start, cols, text, pattern, alphabet_size,
+            out_text, out_pattern,
+            ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
+        )
+    elif algo == 2:
+        lib.sa_traceback_semi(
+            flat, best_idx, cols, text, pattern, alphabet_size,
             out_text, out_pattern,
             ctypes.byref(out_len), ctypes.byref(out_st), ctypes.byref(out_sp),
         )

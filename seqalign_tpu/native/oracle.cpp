@@ -87,6 +87,49 @@ std::pair<int32_t, int64_t> fill(const int8_t* text, int64_t n,
   return {curr[n], 0};
 }
 
+// Semi-global ("fit") fill — an extension beyond the reference (its
+// SEMI_GLOBAL enum value is unreachable from the CLI): the pattern is
+// aligned globally while text end-gaps are free.  Boundary H[0][j] = 0,
+// H[i][0] = -g*i; same recurrence and tie policy as NW; the score is
+// the maximum of the LAST row, first (smallest-column) occurrence.
+// Returns {score, flat index of that cell}.
+std::pair<int32_t, int64_t> fill_semi(const int8_t* text, int64_t n,
+                                      const int8_t* pattern, int64_t m,
+                                      const int32_t* score_matrix, int32_t k,
+                                      int32_t gap, uint8_t* dirs,
+                                      int32_t* row_a, int32_t* row_b) {
+  const int64_t cols = n + 1;
+  int32_t* prev = row_a;
+  int32_t* curr = row_b;
+  for (int64_t j = 0; j < cols; ++j) {
+    curr[j] = 0;
+    dirs[j] = kLeft;
+  }
+  for (int64_t i = 1; i <= m; ++i) {
+    std::swap(prev, curr);
+    uint8_t* dir_row = dirs + i * cols;
+    curr[0] = static_cast<int32_t>(-gap * i);
+    dir_row[0] = kTop;
+    const int32_t* sub_row =
+        score_matrix + static_cast<int64_t>(pattern[i - 1]) * k;
+    for (int64_t j = 1; j < cols; ++j) {
+      const Best b = pick(curr[j - 1] - gap, prev[j] - gap,
+                          prev[j - 1] + sub_row[text[j - 1]]);
+      dir_row[j] = b.dir;
+      curr[j] = b.score;
+    }
+  }
+  int32_t best = curr[0];
+  int64_t arg = 0;
+  for (int64_t j = 1; j < cols; ++j) {
+    if (curr[j] > best) {
+      best = curr[j];
+      arg = j;
+    }
+  }
+  return {best, m * cols + arg};
+}
+
 inline void emit(const int8_t* text, const int8_t* pattern, int32_t k,
                  uint8_t dir, int64_t ti, int64_t pi, uint8_t* out_text,
                  uint8_t* out_pattern, int64_t pos) {
@@ -170,6 +213,32 @@ void sa_traceback_sw(const uint8_t* dirs, int64_t start, int64_t rows,
   std::reverse(out_pattern, out_pattern + len);
 }
 
+// Semi-global traceback from the best last-row cell's flat index: walks
+// like NW (first column forces TOP) but stops on reaching row 0; the
+// free text end-gaps are not emitted.  start_text = the text index
+// where the fitted pattern begins; start_pattern = 0.
+void sa_traceback_semi(const uint8_t* dirs, int64_t start, int64_t cols,
+                       const int8_t* text, const int8_t* pattern, int32_t k,
+                       uint8_t* out_text, uint8_t* out_pattern,
+                       int64_t* out_len, int64_t* out_start_text,
+                       int64_t* out_start_pattern) {
+  int64_t i = start / cols;
+  int64_t j = start % cols;
+  int64_t len = 0;
+  while (i > 0) {
+    const uint8_t dir = j == 0 ? static_cast<uint8_t>(kTop)
+                               : dirs[i * cols + j];
+    emit(text, pattern, k, dir, j - 1, i - 1, out_text, out_pattern, len++);
+    if (dir == kDiag || dir == kLeft) --j;
+    if (dir == kDiag || dir == kTop) --i;
+  }
+  *out_len = len;
+  *out_start_text = j;
+  *out_start_pattern = 0;
+  std::reverse(out_text, out_text + len);
+  std::reverse(out_pattern, out_pattern + len);
+}
+
 // DP fill only: writes the (m+1)x(n+1) uint8 direction matrix into
 // `dirs`, the optimal score into `out_score`, and (local only) the flat
 // index of the best cell into `out_best_idx`.
@@ -186,6 +255,9 @@ int32_t sa_fill(int32_t algo, const int8_t* text, int64_t n,
   if (algo == 0) {
     result = fill<false>(text, n, pattern, m, score_matrix, k, gap, dirs,
                          rows_buf, rows_buf + cols);
+  } else if (algo == 2) {
+    result = fill_semi(text, n, pattern, m, score_matrix, k, gap, dirs,
+                       rows_buf, rows_buf + cols);
   } else {
     result = fill<true>(text, n, pattern, m, score_matrix, k, gap, dirs,
                         rows_buf, rows_buf + cols);
@@ -219,6 +291,10 @@ int32_t sa_align(int32_t algo, const int8_t* text, int64_t n,
   if (algo == 0) {
     sa_traceback_nw(dirs, rows * cols - 1, cols, text, pattern, k, out_text,
                     out_pattern, out_len, out_start_text, out_start_pattern);
+  } else if (algo == 2) {
+    sa_traceback_semi(dirs, best_idx, cols, text, pattern, k, out_text,
+                      out_pattern, out_len, out_start_text,
+                      out_start_pattern);
   } else {
     sa_traceback_sw(dirs, best_idx, rows, cols, text, pattern, k, out_text,
                     out_pattern, out_len, out_start_text, out_start_pattern);

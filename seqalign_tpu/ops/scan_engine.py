@@ -216,6 +216,65 @@ def sw_fill(profile: jax.Array, pattern: jax.Array, gap: jax.Array,
     return dirs, best, best_idx
 
 
+@functools.partial(jax.jit, static_argnames=("with_dirs",))
+def semi_fill(profile: jax.Array, pattern: jax.Array, gap: jax.Array,
+              n: jax.Array, m: jax.Array, with_dirs: bool = True):
+    """Semi-global ("fit") fill — extension beyond the reference (its
+    SEMI_GLOBAL enum is unreachable from its CLI): the pattern aligns
+    globally, text end-gaps are free.  Boundary H[0, j] = 0,
+    H[i, 0] = -g*i; NW recurrence and tie policy; the score is the
+    maximum of the LAST row, first (smallest-column) occurrence.
+
+    Returns (dirs | None, score, best_flat_idx) with the flat index in
+    padded (row * P + col) coordinates.
+    """
+    p = profile.shape[1] + 1
+    m_pad = pattern.shape[0]
+    gap = jnp.asarray(gap, _INT)
+    n = jnp.asarray(n, _INT)
+    m = jnp.asarray(m, _INT)
+    jcol = jnp.arange(p, dtype=_INT)
+    gj = gap * jcol
+    col_valid = jcol <= n
+    row0 = jnp.zeros((p,), _INT)
+
+    def step(carry, xs):
+        prev, best, best_idx = carry
+        pat_i, i = xs
+        sub = jax.lax.dynamic_index_in_dim(profile, pat_i, keepdims=False)
+        diag = prev[:-1] + sub
+        top = prev[1:] - gap
+        tmp = jnp.maximum(diag, top)
+        tmp_ext = jnp.concatenate([(-gap * i)[None], tmp])
+        row = jax.lax.cummax(tmp_ext + gj) - gj
+        if with_dirs:
+            left = row[:-1] - gap
+            d = _direction_row(diag, top, left, local=False)
+            dir_row = jnp.concatenate([jnp.full((1,), TOP, jnp.int8), d])
+        else:
+            dir_row = None
+        masked = jnp.where(col_valid, row, PAD_SCORE)
+        row_max = jnp.max(masked)
+        row_arg = jnp.argmax(masked).astype(_INT)
+        hit = i == m
+        best = jnp.where(hit, row_max, best)
+        best_idx = jnp.where(hit, i * p + row_arg, best_idx)
+        return (row, best, best_idx), dir_row
+
+    xs = (pattern.astype(_INT), jnp.arange(1, m_pad + 1, dtype=_INT))
+    # m == 0 degenerates to the all-zero init row (score 0 at column 0).
+    (_, best, best_idx), dir_rows = jax.lax.scan(
+        step, (row0, jnp.asarray(0, _INT), jnp.asarray(0, _INT)), xs
+    )
+    if with_dirs:
+        dirs = jnp.concatenate(
+            [jnp.full((1, p), LEFT, jnp.int8), dir_rows], axis=0
+        )
+    else:
+        dirs = None
+    return dirs, best, best_idx
+
+
 @functools.partial(jax.jit, static_argnames=("local",))
 def affine_score_fill(profile: jax.Array, pattern: jax.Array,
                       gap_open: jax.Array, gap_extend: jax.Array,

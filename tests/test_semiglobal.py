@@ -1,0 +1,131 @@
+"""Semi-global ("fit") alignment tests — an extension beyond the
+reference (its SEMI_GLOBAL enum value is unreachable from its CLI).
+The native oracle defines the contract; validated against a brute-force
+DP and by path re-scoring."""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.native import bindings
+
+
+def _dna_sm():
+    return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+
+
+def _brute_semi(text, pattern, sm, gap):
+    n, m = len(text), len(pattern)
+    h = np.zeros((m + 1, n + 1), np.int64)
+    for i in range(1, m + 1):
+        h[i, 0] = -gap * i
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            h[i, j] = max(
+                h[i - 1, j - 1] + sm[pattern[i - 1], text[j - 1]],
+                h[i - 1, j] - gap,
+                h[i, j - 1] - gap,
+            )
+    return int(h[m].max())
+
+
+def test_oracle_semi_vs_brute_force():
+    rng = np.random.default_rng(41)
+    sm = _dna_sm()
+    for trial in range(10):
+        n, m = int(rng.integers(5, 120)), int(rng.integers(3, 80))
+        gap = int(rng.integers(1, 9))
+        t = rng.integers(0, 4, n).astype(np.int8)
+        p = rng.integers(0, 4, m).astype(np.int8)
+        _, score, _ = bindings.oracle_fill(2, t, p, sm, 4, gap)
+        assert score == _brute_semi(t, p, sm, gap), (trial, n, m, gap)
+
+
+def test_oracle_semi_traceback_properties():
+    # The emitted alignment must re-score to the optimal value (text
+    # end-gaps free), consume the FULL pattern, and reconstruct the
+    # claimed text window.
+    rng = np.random.default_rng(42)
+    sm = _dna_sm()
+    for trial in range(8):
+        n, m = int(rng.integers(20, 200)), int(rng.integers(5, 120))
+        gap = int(rng.integers(1, 7))
+        t = rng.integers(0, 4, n).astype(np.int8)
+        p = rng.integers(0, 4, m).astype(np.int8)
+        at, ap, st, sp, score = bindings.oracle_align(2, t, p, sm, 4, gap)
+        assert sp == 0
+        path = 0
+        for a, b in zip(at.tolist(), ap.tolist()):
+            if a == 4 or b == 4:
+                path -= gap
+            else:
+                path += int(sm[b, a])
+        assert path == score == _brute_semi(t, p, sm, gap)
+        p_sub = ap[ap != 4]
+        np.testing.assert_array_equal(p_sub, p.astype(np.uint8))  # full pattern
+        t_sub = at[at != 4]
+        np.testing.assert_array_equal(
+            t_sub, t[st : st + t_sub.shape[0]].astype(np.uint8)
+        )
+
+
+def test_semi_fit_finds_embedded_pattern():
+    # A pattern embedded mid-text must fit exactly with a full-match
+    # score and the right start offset.
+    sm = _dna_sm()
+    rng = np.random.default_rng(43)
+    pattern = rng.integers(0, 4, 30).astype(np.int8)
+    text = np.concatenate([
+        rng.integers(0, 4, 57), pattern, rng.integers(0, 4, 41)
+    ]).astype(np.int8)
+    at, ap, st, sp, score = bindings.oracle_align(2, text, pattern, sm, 4, 5)
+    assert score == 30 * 5
+    assert st == 57 and sp == 0
+    assert at.shape[0] == 30 and not (at == 4).any() and not (ap == 4).any()
+
+
+@pytest.mark.parametrize("device_flag", ["-c", "-g"])
+def test_semi_cli_and_engines(device_flag, monkeypatch):
+    # --semi-global through the full CLI; CPU oracle and accelerator
+    # (XLA row-scan) engines must be byte-identical.
+    from seqalign_tpu.constants import Device
+
+    from .helpers import request_from_argv, response_tuple, run
+
+    request = request_from_argv(
+        "--gap-penalty", "4", "--semi-global",
+        "data/dna/NC_018874.txt", "data/dna/dna_02.txt",
+    )
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
+    assert device_flag  # parametrized for two independent runs
+
+
+def test_semi_scan_engine_random_vs_oracle():
+    import jax.numpy as jnp
+
+    from seqalign_tpu.ops import scan_engine
+
+    rng = np.random.default_rng(44)
+    sm = _dna_sm()
+    for trial in range(5):
+        n, m = int(rng.integers(10, 400)), int(rng.integers(5, 300))
+        gap = int(rng.integers(1, 7))
+        t = rng.integers(0, 4, n).astype(np.int32)
+        p = rng.integers(0, 4, m).astype(np.int32)
+        width = scan_engine.padded_width(n)
+        prof = scan_engine.build_profile(
+            jnp.asarray(t), jnp.asarray(sm), width
+        )
+        pat = jnp.asarray(
+            scan_engine.pad_pattern(p, scan_engine.padded_rows(m))
+        )
+        _, best, bidx = scan_engine.semi_fill(prof, pat, gap, n, m,
+                                              with_dirs=False)
+        odirs, oscore, obest = bindings.oracle_fill(
+            2, t.astype(np.int8), p.astype(np.int8), sm, 4, gap
+        )
+        assert int(best) == oscore
+        assert (int(bidx) // width, int(bidx) % width) == (
+            obest // (n + 1), obest % (n + 1)
+        )
