@@ -1,11 +1,14 @@
 """Semi-global ("fit") alignment model — extension beyond the reference
 (its SEMI_GLOBAL enum value is unreachable from its CLI): the pattern
 aligns globally while text end-gaps are free.  The native oracle defines
-the contract; the accelerator path runs the XLA row-scan fill (a Pallas
-wavefront variant is future work)."""
+the contract; Pallas backends run the checkpointed wavefront engine
+(semi mode), CPU backends the XLA row-scan fill."""
 
 from __future__ import annotations
 
+import numpy as np
+
+from .. import config
 from ..native import bindings
 from ..ops import scan_engine
 from .base import AlignmentResult, PairAligner
@@ -15,8 +18,32 @@ class SemiGlobal(PairAligner):
     local = False
 
     def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
+        if config.use_pallas():
+            return self._align_checkpoint_semi(
+                text, pattern, score_matrix, alphabet_size, gap_penalty
+            )
         return self._align_xla(
             text, pattern, score_matrix, alphabet_size, gap_penalty
+        )
+
+    def _align_checkpoint_semi(self, text, pattern, score_matrix,
+                               alphabet_size, gap_penalty):
+        from ..ops import checkpoint
+
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
+            checkpoint.checkpointed_align(
+                np.asarray(text, dtype=np.int32),
+                np.asarray(pattern, dtype=np.int32),
+                sm, alphabet_size, gap_penalty, semi=True,
+            )
+        )
+        return AlignmentResult(
+            aligned_text=aligned_text,
+            aligned_pattern=aligned_pattern,
+            start_in_aligned_text=start_t,
+            start_in_aligned_pattern=start_p,
+            score=score,
         )
 
     def _align_xla(self, text, pattern, score_matrix, alphabet_size,

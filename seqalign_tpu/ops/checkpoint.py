@@ -77,10 +77,11 @@ class CheckpointedFill:
     ckpt_cols: int  # re-fill tile width
     gap: int
     local: bool
+    semi: bool
 
 
 def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
-                      local: bool = False,
+                      local: bool = False, semi: bool = False,
                       ckpt_cols: int = DEFAULT_CKPT_COLS,
                       rps: int = DEFAULT_CKPT_RPS,
                       slots: int = DEFAULT_CKPT_SLOTS) -> CheckpointedFill:
@@ -108,7 +109,9 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     pat_pad = np.zeros(num_strips * rows, dtype=np.int32)
     pat_pad[:m] = pattern_np
 
-    if local:
+    if local or semi:
+        # Semi-global: H[0, j] = 0 like local; interior recurrence and
+        # the H[i, 0] column stay NW-style.
         bottom = jnp.zeros((num_blocks, wavefront.STEPS), _INT)
     else:
         bottom = jnp.asarray(
@@ -127,7 +130,8 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         _, bot_out, rowmax, argj, snap, ckpts = wavefront.wavefront_strip(
             ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
             k_alpha=k_alpha, local=local, with_dirs=False, rps=rps,
-            ckpt_every=ckpt_cols, slots=slots, interpret=interpret,
+            ckpt_every=ckpt_cols, slots=slots, semi=semi,
+            interpret=interpret,
         )
         # (num_ckpts*rps, slots/128, 128) -> (num_ckpts, rows) with row
         # index ri = rps*slot + r.
@@ -165,6 +169,13 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         score, bi, bj = wavefront.merge_local_best(
             rowmaxs, argjs, rows, rps, m, slots=slots
         )
+    elif semi:
+        # Row m's tracker: its first-occurrence last-row maximum.
+        strip = (m - 1) // rows
+        ri = (m - 1) % rows
+        slot_idx, r_idx = ri // rps, ri % rps
+        score = int(rowmaxs[strip][r_idx, slot_idx])
+        bi, bj = m, int(argjs[strip][r_idx, slot_idx])
     else:
         strip = (m - 1) // rows
         slot_idx = ((m - 1) % rows) // rps
@@ -174,7 +185,7 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         score=score, best_i=bi, best_j=bj,
         colvals=colvals, boundaries=boundaries,
         n=n, m=m, rows=rows, rps=rps, ckpt_cols=ckpt_cols,
-        gap=gap, local=local,
+        gap=gap, local=local, semi=semi,
     )
 
 
@@ -198,7 +209,7 @@ def _tile_inputs(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
     else:
         body = ck.colvals[b][c - 1]
         if b == 0:
-            corner_val = 0 if ck.local else -ck.gap * strip_off
+            corner_val = 0 if (ck.local or ck.semi) else -ck.gap * strip_off
             corner = jnp.full((1,), corner_val, _INT)
         else:
             corner = ck.boundaries[b - 1][strip_off - 1 : strip_off]
@@ -208,7 +219,9 @@ def _tile_inputs(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
     # in the strip kernel's (8, L) segmented layout.
     if b == 0:
         prev_row = jnp.asarray(
-            pallas_fill.init_prev_row(l, strip_off, ck.gap, ck.local)
+            pallas_fill.init_prev_row(
+                l, strip_off, ck.gap, ck.local or ck.semi
+            )
         )
     else:
         prev_row = ck.boundaries[b - 1][
@@ -278,6 +291,11 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     if local:
         i, j = ck.best_i, ck.best_j
         done = i == 0 or j == 0
+    elif ck.semi:
+        # Start at the best last-row cell; free text end-gaps are not
+        # emitted, so the walk simply stops on reaching row 0.
+        i, j = ck.m, ck.best_j
+        done = i == 0
     else:
         i, j = ck.m, ck.n
         done = False
@@ -291,10 +309,11 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     while not done:
         if not local and (i == 0 or j == 0):
             # Forced first-row/column moves (alignSequenceCPU.cpp:77-81;
-            # j == 0 forces TOP before i == 0 forces LEFT).
+            # j == 0 forces TOP before i == 0 forces LEFT).  Semi-global
+            # stops at row 0 without emitting the free text end-gap.
             if j == 0 and i > 0:
                 moves_parts.append(np.full(i, _TOP, np.uint8))
-            elif i == 0 and j > 0:
+            elif i == 0 and j > 0 and not ck.semi:
                 moves_parts.append(np.full(j, _LEFT, np.uint8))
             break
         c = (j - 1) // ck.ckpt_cols
@@ -323,6 +342,8 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
         moves_parts.append(mv)
         if local:
             done = tile_done
+        elif ck.semi:
+            done = i == 0
         else:
             done = i == 0 and j == 0
 
@@ -331,13 +352,17 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
         if moves_parts
         else np.zeros(0, np.uint8)
     )
-    return bindings.emit_moves(
+    at, ap, st, sp = bindings.emit_moves(
         moves, start_i, start_j, local, text_np, pattern_np, k_alpha
     )
+    if ck.semi:
+        # Fit-alignment offsets: where the pattern lands in the text.
+        st, sp = j, 0
+    return at, ap, st, sp
 
 
 def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
-                       local: bool = False,
+                       local: bool = False, semi: bool = False,
                        ckpt_cols: int = DEFAULT_CKPT_COLS,
                        rps: int = DEFAULT_CKPT_RPS,
                        slots: int = DEFAULT_CKPT_SLOTS):
@@ -348,7 +373,7 @@ def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
     """
     ck = checkpointed_fill(
         text, pattern, score_matrix, k_alpha, gap,
-        local=local, ckpt_cols=ckpt_cols, rps=rps, slots=slots,
+        local=local, semi=semi, ckpt_cols=ckpt_cols, rps=rps, slots=slots,
     )
     at, ap, st, sp = checkpointed_traceback(
         ck, text, pattern, score_matrix, k_alpha

@@ -61,7 +61,7 @@ def strip_rows(r: int = ROWS_PER_SLOT) -> int:
 
 
 def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
-                      ckpt_every: int, slots: int,
+                      ckpt_every: int, slots: int, semi: bool,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
                       dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref,
                       ckpt_ref,
@@ -109,7 +109,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             else jnp.where(pos00, -(gap * i0), last_boundary)
         )
         w_scr[:, :] = jnp.zeros((srows, 128), _INT)
-        if local:
+        if local or semi:
             for r in range(rps):
                 acc_scr[r] = jnp.full((srows, 128), NEG_INF, _INT)
                 aj_scr[r] = jnp.zeros((srows, 128), _INT)
@@ -134,8 +134,9 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     ]
 
     unroll = DIR_STEPS_PER_WORD
-    acc0 = [acc_scr[r] for r in range(rps)] if local else []
-    aj0 = [aj_scr[r] for r in range(rps)] if local else []
+    track = local or semi
+    acc0 = [acc_scr[r] for r in range(rps)] if track else []
+    aj0 = [aj_scr[r] for r in range(rps)] if track else []
     snap0 = snap_scr[:, :]
     cks0 = [ckpt_scr[r] for r in range(rps)] if ckpt_every else []
 
@@ -194,10 +195,15 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 if ckpt_every:
                     cks[r] = jnp.where(cmask, cur_next, cks[r])
 
-                if local:
+                if track:
+                    # local: running max over all live cells; semi: over
+                    # the last pattern row only (strict improvement keeps
+                    # the first column on ties, both modes).
+                    row_ok = (
+                        ibase + r + 1 <= m if local else ibase + r + 1 == m
+                    )
                     valid = jnp.logical_and(
-                        started,
-                        jnp.logical_and(jvec <= n, ibase + r + 1 <= m),
+                        started, jnp.logical_and(jvec <= n, row_ok)
                     )
                     cand = jnp.where(valid, newval, NEG_INF)
                     improved = cand > accs[r]
@@ -260,7 +266,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
         cur_scr[r] = curs[r]
     topsh_scr[:, :] = topsh
     w_scr[:, :] = w
-    if local:
+    if track:
         for r in range(rps):
             acc_scr[r] = accs[r]
             aj_scr[r] = ajs[r]
@@ -272,7 +278,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
 
     @pl.when(g_blk == num_blk - 1)
     def _finish():
-        if local:
+        if track:
             for r in range(rps):
                 rowmax_ref[r] = acc_scr[r]
                 argj_ref[r] = aj_scr[r]
@@ -284,14 +290,14 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     jax.jit,
     static_argnames=(
         "k_alpha", "local", "with_dirs", "rps", "ckpt_every", "slots",
-        "interpret"
+        "semi", "interpret"
     ),
 )
 def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
                     gap, n, m, i0, k_alpha: int, local: bool = False,
                     with_dirs: bool = True, rps: int = ROWS_PER_SLOT,
                     ckpt_every: int = 0, slots: int = SLOTS,
-                    interpret: bool = False):
+                    semi: bool = False, interpret: bool = False):
     """Run one (rps*slots)-row strip sweep.
 
     Args:
@@ -339,9 +345,13 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     n_planes = -(-k_alpha // 4)
     sm = pack_score_matrix_traced(score_matrix, k_alpha)
 
+    # semi: NW recurrence/boundaries (pass local=False and an all-zero
+    # strip-0 bottom_in) with local-style max tracking masked to the last
+    # pattern row — score = first max of row m.
+    assert not (semi and local)
     kernel = functools.partial(
         _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every,
-        slots,
+        slots, semi,
     )
     if ckpt_every:
         num_ckpts = max(1, (num_blocks * STEPS) // ckpt_every)

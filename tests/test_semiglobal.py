@@ -101,6 +101,47 @@ def test_semi_cli_and_engines(device_flag, monkeypatch):
     assert device_flag  # parametrized for two independent runs
 
 
+def test_semi_checkpoint_engine_vs_oracle(monkeypatch):
+    # Multi-tile semi through the checkpointed wavefront engine
+    # (interpret mode), byte-compared to the oracle.
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    from seqalign_tpu.ops import checkpoint
+
+    rng = np.random.default_rng(45)
+    sm = _dna_sm()
+    for trial in range(3):
+        n, m = int(rng.integers(2100, 4200)), int(rng.integers(200, 1300))
+        gap = int(rng.integers(1, 7))
+        t = rng.integers(0, 4, n).astype(np.int32)
+        p = rng.integers(0, 4, m).astype(np.int32)
+        score, bi, bj, at, ap, st, sp = checkpoint.checkpointed_align(
+            t, p, sm, 4, gap, semi=True, ckpt_cols=2048, rps=1, slots=1024,
+        )
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            2, t.astype(np.int8), p.astype(np.int8), sm, 4, gap
+        )
+        assert score == oscore, (trial, n, m, gap)
+        np.testing.assert_array_equal(at, oat)
+        np.testing.assert_array_equal(ap, oap)
+        assert (st, sp) == (ost, osp)
+
+
+def test_semi_api_pallas_interpret(monkeypatch):
+    # SemiGlobal model routed through the checkpoint engine.
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    from seqalign_tpu.constants import Device
+
+    from .helpers import request_from_argv, response_tuple, run
+
+    request = request_from_argv(
+        "--gap-penalty", "4", "--semi-global",
+        "data/dna/dna_01.txt", "data/dna/dna_02.txt",
+    )
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
+
+
 def test_semi_scan_engine_random_vs_oracle():
     import jax.numpy as jnp
 
