@@ -14,14 +14,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .scan_engine import PAD_SCORE, affine_score_fill, nw_score, sw_score
+from .scan_engine import (
+    PAD_SCORE,
+    affine_score_fill,
+    nw_score,
+    semi_fill,
+    sw_score,
+)
 
 _INT = jnp.int32
 
 
-@functools.partial(jax.jit, static_argnames=("local",))
+@functools.partial(jax.jit, static_argnames=("local", "semi"))
 def batch_score(texts, patterns, ns, ms, score_matrix, gap,
-                local: bool = False, gap_extend=None):
+                local: bool = False, semi: bool = False, gap_extend=None):
     """Optimal scores for a padded batch of pairs.
 
     Args:
@@ -31,12 +37,17 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap,
       score_matrix: (K, K) int32, shared across the batch.
       gap: scalar gap penalty (affine: gap-open cost).
       local: Smith-Waterman when True, else Needleman-Wunsch.
+      semi: semi-global ("fit") scoring when True (mutually exclusive
+        with local; affine semi is not supported on this engine).
       gap_extend: when given, affine (Gotoh) gap costs — a run of length
         L costs gap + (L-1)*gap_extend; requires gap >= gap_extend (the
         row prefix-max identity needs it).  None = linear (reference).
 
     Returns (B,) int32 scores.
     """
+    assert not (semi and local)
+    if semi and gap_extend is not None:
+        raise NotImplementedError("affine semi-global scoring")
     n_pad = texts.shape[1]
     col = jnp.arange(n_pad, dtype=_INT)
     sm = score_matrix.astype(_INT)
@@ -49,6 +60,11 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap,
                 profile, pattern, gap, gap_extend, n, m, local=local
             )
             return score
+        if semi:
+            _, best, _ = semi_fill(
+                profile, pattern, gap, n, m, with_dirs=False
+            )
+            return best
         if local:
             return sw_score(profile, pattern, gap, n, m)
         return nw_score(profile, pattern, gap, n, m)

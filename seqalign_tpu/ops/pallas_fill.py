@@ -124,7 +124,7 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 
 
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
-                      sub_rows: int, affine: bool,
+                      sub_rows: int, affine: bool, semi: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
                       out_ref, row_ref, f_ref):
     """Inter-pair batch fill: tile_pairs pairs per grid step, one pair
@@ -144,9 +144,9 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     zero = jnp.zeros((sub_rows, 128), _INT)
     neg = jnp.full((sub_rows, 128), NEG_INF // 2, _INT)
 
-    # Row 0: H[0, j] = 0 (local) / -g*j (global; affine: -g - j*ge).
+    # Row 0: H[0, j] = 0 (local/semi) / -g*j (global; affine: -g - j*ge).
     def init_col(j, _):
-        if local:
+        if local or semi:
             row_ref[j] = zero
         elif affine:
             row_ref[j] = (-g - ge * j) + zero
@@ -209,6 +209,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             if local:
                 ok = jnp.logical_and(j < nvec, row_live)
                 acc = jnp.maximum(acc, jnp.where(ok, cur, NEG_INF))
+            elif semi:
+                # Max over the last pattern row (fit alignment).
+                ok = jnp.logical_and(
+                    jnp.logical_and(row_live, i == mvec), j < nvec
+                )
+                acc = jnp.maximum(acc, jnp.where(ok, cur, NEG_INF))
             else:
                 hit = jnp.logical_and(row_live, jnp.logical_and(i == mvec, j == nvec - 1))
                 acc = jnp.where(hit, cur, acc)
@@ -241,10 +247,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_alpha", "local", "tile_pairs", "interpret")
+    jax.jit,
+    static_argnames=("k_alpha", "local", "semi", "tile_pairs", "interpret"),
 )
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        k_alpha: int, local: bool = False,
+                       semi: bool = False,
                        tile_pairs: int | None = None,
                        gap_extend=None,
                        interpret: bool = False):
@@ -258,6 +266,8 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
       score_matrix: (K, K) int32; gap: scalar int32.
       k_alpha: static alphabet size; VMEM sizing favors small alphabets.
       local: Smith-Waterman when True.
+      semi: semi-global ("fit") when True — H[0, j] = 0, score = max of
+        the last pattern row (mutually exclusive with local).
       gap_extend: when given, affine (Gotoh) gap costs — a run of length
         L costs gap + (L-1)*gap_extend (``gap`` is then the open cost);
         None keeps the reference's linear model.
@@ -303,8 +313,9 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
     else:
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
+    assert not (semi and local)
     kernel = functools.partial(
-        _interpair_kernel, k_alpha, local, n, m, sub_rows, affine
+        _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi
     )
     out = pl.pallas_call(
         kernel,

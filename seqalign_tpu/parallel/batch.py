@@ -24,7 +24,8 @@ from . import mesh as mesh_lib
 
 
 def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
-                        gap, local: bool = False, gap_extend=None):
+                        gap, local: bool = False, semi: bool = False,
+                        gap_extend=None):
     """Scores for a batch sharded along the mesh ``data`` axis.
 
     The batch dimension must be divisible by the mesh size (use
@@ -41,11 +42,13 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
         if use_pallas and t.shape[0] % 128 == 0:
             return pallas_fill.batch_score_pallas(
                 t, p, n, m, sm, gap,
-                k_alpha=sm.shape[0], local=local, gap_extend=gap_extend,
+                k_alpha=sm.shape[0], local=local, semi=semi,
+                gap_extend=gap_extend,
                 interpret=config.pallas_interpret(),
             )
         return batch_score(
-            t, p, n, m, sm, gap, local=local, gap_extend=gap_extend
+            t, p, n, m, sm, gap, local=local, semi=semi,
+            gap_extend=gap_extend
         )
 
     # check_vma=False: the scan carry inits are device-invariant while the
@@ -78,13 +81,18 @@ class BatchAligner:
 
     def __init__(self, score_matrix: np.ndarray, alphabet_size: int,
                  gap_penalty: int, local: bool = False,
+                 semi: bool = False,
                  gap_extend: Optional[int] = None,
                  mesh: Optional[Mesh] = None):
         # gap_extend: affine (Gotoh) gap costs — a run of length L costs
         # gap_penalty + (L-1)*gap_extend; requires gap_penalty >=
         # gap_extend.  None = the reference's linear model.
+        # semi: semi-global ("fit") scoring — mutually exclusive with
+        # local; affine semi is not supported.
         if gap_extend is not None and gap_penalty < gap_extend:
             raise ValueError("affine gaps require gap_penalty >= gap_extend")
+        if semi and (local or gap_extend is not None):
+            raise ValueError("semi is exclusive with local/affine")
         self.score_matrix = jnp.asarray(
             np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
                 : alphabet_size * alphabet_size
@@ -93,6 +101,7 @@ class BatchAligner:
         self.gap_penalty = gap_penalty
         self.gap_extend = gap_extend
         self.local = local
+        self.semi = semi
         self.mesh = mesh if mesh is not None else mesh_lib.make_data_mesh()
 
     def _buckets(self, texts: Sequence[np.ndarray],
@@ -145,6 +154,7 @@ class BatchAligner:
                 self.score_matrix,
                 self.gap_penalty,
                 local=self.local,
+                semi=self.semi,
                 gap_extend=self.gap_extend,
             )
             scores = np.asarray(jax.device_get(scores))

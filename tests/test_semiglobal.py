@@ -142,6 +142,39 @@ def test_semi_api_pallas_interpret(monkeypatch):
     assert response_tuple(cpu) == response_tuple(tpu)
 
 
+def test_semi_batch_engines_vs_oracle():
+    # Batched semi scoring: the Pallas inter-pair kernel (interpret) and
+    # the vmapped XLA engine, both vs the oracle.
+    import jax
+    import jax.numpy as jnp
+
+    from seqalign_tpu.ops.batch import batch_score
+    from seqalign_tpu.ops.pallas_fill import batch_score_pallas
+
+    rng = np.random.default_rng(46)
+    sm = _dna_sm()
+    b, n, m = 128, 96, 48
+    texts = rng.integers(0, 4, (b, n)).astype(np.int32)
+    patterns = rng.integers(0, 4, (b, m)).astype(np.int32)
+    ns = rng.integers(n // 2, n + 1, b).astype(np.int32)
+    ms = rng.integers(m // 2, m + 1, b).astype(np.int32)
+    args = (
+        jnp.asarray(texts), jnp.asarray(patterns), jnp.asarray(ns),
+        jnp.asarray(ms), jnp.asarray(sm), 5,
+    )
+    out_pl = np.asarray(jax.device_get(batch_score_pallas(
+        *args, k_alpha=4, semi=True, interpret=True
+    )))
+    out_xla = np.asarray(jax.device_get(batch_score(*args, semi=True)))
+    for idx in rng.integers(0, b, 12):
+        _, want, _ = bindings.oracle_fill(
+            2, texts[idx, : ns[idx]].astype(np.int8),
+            patterns[idx, : ms[idx]].astype(np.int8), sm, 4, 5,
+        )
+        assert out_pl[idx] == want, int(idx)
+        assert out_xla[idx] == want, int(idx)
+
+
 def test_semi_scan_engine_random_vs_oracle():
     import jax.numpy as jnp
 
