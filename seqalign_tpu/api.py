@@ -37,18 +37,38 @@ def _algo_code(alignment_type: AlignmentType) -> int:
 
 def align_cpu(request: Request, response: Response,
               err: TextIO = sys.stderr) -> int:
-    """Native oracle engine (reference CPU-path equivalent)."""
+    """Native oracle engine (reference CPU-path equivalent; affine gap
+    costs when request.gap_extend is set — extension, CPU only)."""
     from .native import bindings
 
+    algo = _algo_code(request.alignment_type)
     try:
-        text_idx, pat_idx, start_t, start_p, score = bindings.oracle_align(
-            _algo_code(request.alignment_type),
-            request.text,
-            request.pattern,
-            request.score_matrix,
-            request.alphabet_size,
-            request.gap_penalty,
-        )
+        if request.gap_extend is not None:
+            if algo == 2:
+                err.write(constants.AFFINE_SEMI_ERROR)
+                return 1
+            text_idx, pat_idx, start_t, start_p, score = (
+                bindings.oracle_align_affine(
+                    algo,
+                    request.text,
+                    request.pattern,
+                    request.score_matrix,
+                    request.alphabet_size,
+                    request.gap_penalty,
+                    request.gap_extend,
+                )
+            )
+        else:
+            text_idx, pat_idx, start_t, start_p, score = (
+                bindings.oracle_align(
+                    algo,
+                    request.text,
+                    request.pattern,
+                    request.score_matrix,
+                    request.alphabet_size,
+                    request.gap_penalty,
+                )
+            )
     except MemoryError:
         err.write(constants.MEM_ERROR)
         return 1
@@ -65,6 +85,9 @@ def align_tpu(request: Request, response: Response,
     """Accelerator engine: device fill (row-scan), host traceback."""
     from .models import aligner_for
 
+    if request.gap_extend is not None:
+        err.write(constants.AFFINE_DEVICE_ERROR)
+        return 1
     try:
         model = aligner_for(request.alignment_type)
         result = model.align(

@@ -36,6 +36,8 @@ _FLAG_MAP = {
     "--score-matrix": ("score_matrix", None),
     "-s": ("score_matrix", None),
     "--gap-penalty": ("gap_penalty", None),
+    # Extension: affine (Gotoh) gap costs; the reference is linear-only.
+    "--gap-extend": ("gap_extend", None),
 }
 
 # std::stoi semantics: optional whitespace, optional sign, leading digits;
@@ -63,8 +65,10 @@ def parse_arguments(
     request.text = request.text[:0]
     request.pattern = request.pattern[:0]
 
+    request.gap_extend = None
     score_matrix_state = "not_read"
     gap_penalty_state = "not_read"
+    gap_extend_state = "not_read"
     for arg in argv[1:]:
         kind = _FLAG_MAP.get(arg)
         if kind is not None:
@@ -79,6 +83,15 @@ def parse_arguments(
                 score_matrix_state = "to_read"
             elif what == "gap_penalty":
                 gap_penalty_state = "to_read"
+            elif what == "gap_extend":
+                gap_extend_state = "to_read"
+        elif gap_extend_state == "to_read":
+            parsed = _stoi(arg)
+            if parsed is None:
+                err.write(constants.GAP_PENALTY_NOT_READ_ERROR)
+                return 1
+            request.gap_extend = parsed
+            gap_extend_state = "read"
         elif gap_penalty_state == "to_read":
             parsed = _stoi(arg)
             if parsed is None:

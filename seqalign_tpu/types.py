@@ -41,6 +41,9 @@ class Request:
         )
     )
     gap_penalty: int = constants.DEFAULT_GAP_PENALTY
+    # Extension beyond the reference: affine (Gotoh) gap costs when set —
+    # a run of length L costs gap_penalty + (L-1)*gap_extend.
+    gap_extend: "int | None" = None
 
     @property
     def text_num_bytes(self) -> int:

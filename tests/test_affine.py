@@ -245,3 +245,33 @@ def test_batch_aligner_affine():
 
     with pytest.raises(ValueError):
         BatchAligner(sm, 4, gap_penalty=1, gap_extend=2)
+
+
+def test_affine_cli():
+    # --gap-extend through the full CLI (CPU engine); -g errors clearly.
+    import io as _io
+
+    from seqalign_tpu import api, constants
+    from seqalign_tpu.types import Response
+
+    from .helpers import request_from_argv
+
+    request = request_from_argv(
+        "--gap-penalty", "6", "--gap-extend", "1", "--local",
+        "data/dna/NC_018874.txt", "data/dna/dna_01.txt",
+    )
+    assert request.gap_extend == 1
+    response = Response()
+    assert api.align(request, response) == 0
+    want, _ = bindings.oracle_fill_affine(
+        1, request.text, request.pattern, request.score_matrix,
+        request.alphabet_size, 6, 1,
+    )
+    assert response.score == want
+
+    from seqalign_tpu.constants import Device
+
+    request.device_type = Device.TPU
+    err = _io.StringIO()
+    assert api.align(request, Response(), err=err) == 1
+    assert err.getvalue() == constants.AFFINE_DEVICE_ERROR
