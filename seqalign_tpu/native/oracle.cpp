@@ -119,9 +119,13 @@ std::pair<int32_t, int64_t> fill_semi(const int8_t* text, int64_t n,
       curr[j] = b.score;
     }
   }
-  int32_t best = curr[0];
-  int64_t arg = 0;
-  for (int64_t j = 1; j < cols; ++j) {
+  // First occurrence over j >= 1 (H[m][j>=1] >= H[m][0] always — an
+  // all-TOP path from the free zero row — so j = 0 can only tie; the
+  // accelerator trackers never see j = 0, and all engines agree on
+  // starting the fit at j >= 1).
+  int64_t arg = n >= 1 ? 1 : 0;
+  int32_t best = curr[arg];
+  for (int64_t j = arg + 1; j < cols; ++j) {
     if (curr[j] > best) {
       best = curr[j];
       arg = j;

@@ -235,7 +235,11 @@ def semi_fill(profile: jax.Array, pattern: jax.Array, gap: jax.Array,
     m = jnp.asarray(m, _INT)
     jcol = jnp.arange(p, dtype=_INT)
     gj = gap * jcol
-    col_valid = jcol <= n
+    # First occurrence over j >= 1 (j = 0 can only tie, and the other
+    # engines' trackers never see it); j = 0 only for empty text.
+    col_valid = jnp.logical_and(
+        jcol <= n, jnp.where(n > 0, jcol >= 1, jcol == 0)
+    )
     row0 = jnp.zeros((p,), _INT)
 
     def step(carry, xs):

@@ -203,3 +203,29 @@ def test_semi_scan_engine_random_vs_oracle():
         assert (int(bidx) // width, int(bidx) % width) == (
             obest // (n + 1), obest % (n + 1)
         )
+
+
+def test_semi_degenerate_all_mismatch_tie():
+    # With an all-negative matrix the whole last row ties H[m][0] (the
+    # all-gap fit); every engine must agree on the j>=1 start contract.
+    import jax.numpy as jnp
+
+    from seqalign_tpu.ops import scan_engine
+
+    sm = np.full((4, 4), -100, np.int32)
+    t = np.zeros(6, np.int8)
+    p = np.ones(3, np.int8)
+    odirs, oscore, obest = bindings.oracle_fill(2, t, p, sm, 4, 1)
+    assert oscore == -3 and obest % 7 == 1  # first j >= 1
+    at, ap, st, sp, score = bindings.oracle_align(2, t, p, sm, 4, 1)
+    assert score == -3
+
+    width = scan_engine.padded_width(6)
+    prof = scan_engine.build_profile(
+        jnp.asarray(t.astype(np.int32)), jnp.asarray(sm), width
+    )
+    pat = jnp.asarray(
+        scan_engine.pad_pattern(p.astype(np.int32), scan_engine.padded_rows(3))
+    )
+    _, best, bidx = scan_engine.semi_fill(prof, pat, 1, 6, 3, with_dirs=False)
+    assert int(best) == -3 and int(bidx) % width == 1
