@@ -64,3 +64,30 @@ def test_500k_local_fill_score():
         text, pattern, sm, 4, 5, local=True, with_dirs=False
     )
     assert score > 0 and 0 < bi <= 500000 and 0 < bj <= 500000
+
+
+@pytest.mark.parametrize("algo_kw", [{}, {"local": True}, {"semi": True}])
+def test_random_midsize_byte_identical(algo_kw):
+    # Randomized ~35-70k pairs through the checkpointed engine on the
+    # real chip, byte-compared to the oracle (all three algorithms).
+    from seqalign_tpu.native import bindings
+    from seqalign_tpu.ops import checkpoint
+
+    rng = np.random.default_rng(99)
+    sm = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+    n = int(rng.integers(35000, 70000))
+    m = int(rng.integers(9000, min(n, 45000)))
+    gap = int(rng.integers(1, 8))
+    t = rng.integers(0, 4, n).astype(np.int32)
+    p = rng.integers(0, 4, m).astype(np.int32)
+    algo = 1 if algo_kw.get("local") else (2 if algo_kw.get("semi") else 0)
+    score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
+        t, p, sm, 4, gap, **algo_kw
+    )
+    oat, oap, ost, osp, oscore = bindings.oracle_align(
+        algo, t.astype(np.int8), p.astype(np.int8), sm, 4, gap
+    )
+    assert score == oscore
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
