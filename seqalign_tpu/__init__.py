@@ -6,7 +6,9 @@ reference CUDA engine (robertszafa/sequence-alignment-gpu): global
 sequences with linear gap penalties and pluggable integer substitution
 matrices, exact traceback, an EMBOSS-style report, plus batched and
 multi-host data-parallel alignment the reference only benchmarks
-sequentially.
+sequentially.  Extensions beyond the reference: semi-global ("fit")
+alignment on every engine and affine (Gotoh) gap costs (full alignment
+on the CPU oracle, batched scoring on TPU via parallel.batch).
 """
 
 from . import constants

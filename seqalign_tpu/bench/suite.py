@@ -304,6 +304,34 @@ def cmd_engines(args) -> None:
     print(f"pallas wavefront:     {total * 1e3:9.1f} ms  "
           f"{cells / total / 1e6:9.0f} MCUPS", flush=True)
 
+    # Wide-slot wavefront (4096 slots x 4 rows per slot, dirs included).
+    rps_w, slots_w = 4, 4096
+    steps_w = -(-(n + slots_w - 1) // wavefront.STEPS) * wavefront.STEPS
+    nbw = steps_w // wavefront.STEPS
+    tsw = jnp.asarray(
+        np.pad(text, (0, steps_w - n)).reshape(nbw, wavefront.STEPS)
+    )
+    botw = jnp.zeros((nbw, wavefront.STEPS), jnp.int32)
+    patw = np.zeros(rps_w * slots_w, np.int32)
+    patw[:m] = pattern[: rps_w * slots_w]
+    pw = jnp.asarray(
+        np.ascontiguousarray(patw.reshape(slots_w, rps_w).T)
+        .reshape(rps_w, slots_w // 128, 128)
+    )
+
+    def wide_call(perturb):
+        dirs, bo, rm, aj, sn, _ = wavefront.wavefront_strip(
+            tsw, botw, pw, jnp.asarray(sm_np), 5 + perturb, n, m, 0,
+            k_alpha=4, local=True, with_dirs=True, rps=rps_w, slots=slots_w,
+        )
+        return rm
+
+    sec = device_seconds_per_call(wide_call, reps=3)
+    strips = -(-m // (rps_w * slots_w))
+    total = sec * strips
+    print(f"wavefront 4096-slot:  {total * 1e3:9.1f} ms  "
+          f"{cells / total / 1e6:9.0f} MCUPS", flush=True)
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="seqalign-bench")
