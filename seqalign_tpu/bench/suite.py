@@ -16,6 +16,7 @@ Usage:
   python -m seqalign_tpu.bench.suite latency
   python -m seqalign_tpu.bench.suite batch
   python -m seqalign_tpu.bench.suite maxlength
+  python -m seqalign_tpu.bench.suite engines   # kernel comparison
 """
 
 from __future__ import annotations
@@ -289,7 +290,15 @@ def cmd_engines(args) -> None:
         np.pad(text, (0, steps_pad - n)).reshape(nb, wavefront.STEPS)
     )
     bot = jnp.zeros((nb, wavefront.STEPS), jnp.int32)
-    pslots = jnp.asarray(pat2[: wavefront.SLOTS].reshape(8, 128))
+    rps0 = wavefront.ROWS_PER_SLOT
+    pat_s = np.zeros(rps0 * wavefront.SLOTS, np.int32)
+    pat_s[: min(m, rps0 * wavefront.SLOTS)] = np.asarray(pat2)[
+        : min(m, rps0 * wavefront.SLOTS)
+    ]
+    pslots = jnp.asarray(
+        np.ascontiguousarray(pat_s.reshape(wavefront.SLOTS, rps0).T)
+        .reshape(rps0, 8, 128)
+    )
 
     def wave_call(perturb):
         dirs, bo, rm, aj, sn, _ = wavefront.wavefront_strip(
@@ -299,7 +308,7 @@ def cmd_engines(args) -> None:
         return rm
 
     sec = device_seconds_per_call(wave_call, reps=3)
-    strips = -(-m // wavefront.SLOTS)
+    strips = -(-m // (rps0 * wavefront.SLOTS))
     total = sec * strips
     print(f"pallas wavefront:     {total * 1e3:9.1f} ms  "
           f"{cells / total / 1e6:9.0f} MCUPS", flush=True)
@@ -353,6 +362,9 @@ def main(argv=None) -> int:
         "--engine", choices=("tiled", "wavefront"), default="wavefront"
     )
     p.set_defaults(fn=cmd_maxlength)
+    p = sub.add_parser("engines")
+    p.add_argument("--size", type=int, default=4096)
+    p.set_defaults(fn=cmd_engines)
     args = parser.parse_args(argv)
     args.fn(args)
     return 0
