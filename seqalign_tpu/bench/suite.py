@@ -162,9 +162,16 @@ def cmd_batch(args) -> None:
     )
     n = m = args.size
     batches = args.pairs if args.pairs else [1024, 2048, 4096, 8192]
+    mode = "semi" if args.semi else (
+        "local" if args.dna else "global"
+    )
+    affine = (
+        f", affine extend {args.affine_extend}"
+        if args.affine_extend is not None else ""
+    )
     print(
         f"Batch throughput, {n}x{m} "
-        f"{'local DNA' if args.dna else 'global protein'} pairs (scores)"
+        f"{mode} {'DNA' if args.dna else 'protein'} pairs (scores{affine})"
     )
     print(f"{'batch':>8} {'ms':>10} {'pairs/s':>12} {'GCUPS':>8}")
     for b in batches:
@@ -177,7 +184,9 @@ def cmd_batch(args) -> None:
         def call(perturb):
             return batch_score_pallas(
                 texts, patterns, ns, ms, sm_j, 5 + perturb,
-                k_alpha=k, local=args.dna,
+                k_alpha=k, local=args.dna and not args.semi,
+                semi=args.semi,
+                gap_extend=args.affine_extend,
             )
 
         # Small batches finish in <1 ms; more in-jit repeats keep the
@@ -355,6 +364,10 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--dna", action="store_true")
     p.add_argument("--pairs", nargs="*", type=int)
+    p.add_argument("--semi", action="store_true")
+    p.add_argument(
+        "--affine-extend", type=int, default=None, dest="affine_extend"
+    )
     p.set_defaults(fn=cmd_batch)
     p = sub.add_parser("maxlength")
     p.add_argument("--lengths", nargs="*", type=int, default=[120000])
