@@ -100,6 +100,20 @@ def align_tpu(request: Request, response: Response,
     except MemoryError:
         err.write(constants.MEM_ERROR)
         return 1
+    except ValueError as e:
+        # e.g. the TPU engines' |score| <= 127 packed-substitution guard.
+        err.write(f"error: {e}\n")
+        return 1
+    except RuntimeError as e:
+        # A device-side allocation failure surfaces as an XLA
+        # RESOURCE_EXHAUSTED JaxRuntimeError; map it to the reference's
+        # MEM_ERROR (the GPU path prints it on cudaMalloc failure,
+        # alignSequenceGPU.cu:502-546).
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+            err.write(constants.MEM_ERROR)
+            return 1
+        raise
     response.aligned_text = _indices_to_letters(
         result.aligned_text, request.alphabet
     )

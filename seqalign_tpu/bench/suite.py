@@ -85,6 +85,19 @@ def _pair_fill_seconds(n, m, local, rng, sm) -> float:
     return per_strip * num_strips
 
 
+def _cpu_fill_seconds(n, m, local, rng, sm) -> float:
+    """Wall seconds for one native-oracle fill (dirs included)."""
+    from ..native import bindings
+
+    text = _random_protein(rng, n)
+    pattern = _random_protein(rng, m)
+
+    def run():
+        bindings.oracle_fill(1 if local else 0, text, pattern, sm, 23, 5)
+
+    return wall_seconds(run, repeats=1)
+
+
 def cmd_throughput(args) -> None:
     rng = np.random.default_rng(0)
     sm = _blosum50()
@@ -97,13 +110,25 @@ def cmd_throughput(args) -> None:
     else:
         sizes = [(2 ** k, 2 ** k) for k in range(8, 17)]
 
+    # CPU column alongside the TPU one, like the reference's grid
+    # (tests/benchmarks.cu:128-189 prints CPU and GPU side by side).
+    cpu_cap = args.cpu_max
     print(f"Fill throughput ({'local' if local else 'global'}), "
           f"direction matrix included, best-like in-device timing")
-    print(f"{'size':>16} {'ms':>10} {'MCUPS':>10}")
+    print(f"{'size':>16} {'tpu ms':>10} {'tpu MCUPS':>10} "
+          f"{'cpu ms':>10} {'cpu MCUPS':>10}")
     for n, m in sizes:
         sec = _pair_fill_seconds(n, m, local, rng, sm)
         mcups = n * m / sec / 1e6
-        print(f"{n:>8}x{m:<7} {sec * 1e3:>10.1f} {mcups:>10.0f}", flush=True)
+        if max(n, m) <= cpu_cap:
+            cpu_sec = _cpu_fill_seconds(n, m, local, rng, sm)
+            cpu_str = f"{cpu_sec * 1e3:>10.1f} {n * m / cpu_sec / 1e6:>10.0f}"
+        else:
+            cpu_str = f"{'-':>10} {'-':>10}"
+        print(
+            f"{n:>8}x{m:<7} {sec * 1e3:>10.1f} {mcups:>10.0f} {cpu_str}",
+            flush=True,
+        )
 
 
 def cmd_latency(args) -> None:
@@ -357,6 +382,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("throughput")
     p.add_argument("--local", action="store_true")
     p.add_argument("--sizes", nargs="*", help="e.g. 4096x4096")
+    p.add_argument(
+        "--cpu-max", type=int, default=16384, dest="cpu_max",
+        help="skip the CPU column above this size (oracle is ~0.4 GCUPS)",
+    )
     p.set_defaults(fn=cmd_throughput)
     p = sub.add_parser("latency")
     p.set_defaults(fn=cmd_latency)

@@ -92,6 +92,9 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
         : k_alpha * k_alpha
     ].reshape(k_alpha, k_alpha)
+    # Validate the packed-substitution |score| <= 127 contract up front
+    # (the strips below pack via the unvalidated traced packer).
+    pallas_fill.pack_score_matrix(sm, k_alpha)
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
     interpret = config.pallas_interpret()

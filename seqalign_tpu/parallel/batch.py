@@ -93,11 +93,14 @@ class BatchAligner:
             raise ValueError("affine gaps require gap_penalty >= gap_extend")
         if semi and (local or gap_extend is not None):
             raise ValueError("semi is exclusive with local/affine")
-        self.score_matrix = jnp.asarray(
-            np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
-                : alphabet_size * alphabet_size
-            ].reshape(alphabet_size, alphabet_size)
-        )
+        sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
+            : alphabet_size * alphabet_size
+        ].reshape(alphabet_size, alphabet_size)
+        if config.use_pallas():
+            # The Pallas batch kernel packs scores into bytes; enforce its
+            # |score| <= 127 contract here where the matrix is concrete.
+            pallas_fill.pack_score_matrix(sm, alphabet_size)
+        self.score_matrix = jnp.asarray(sm)
         self.gap_penalty = gap_penalty
         self.gap_extend = gap_extend
         self.local = local
@@ -119,8 +122,12 @@ class BatchAligner:
     def score(self, texts: Sequence[np.ndarray],
               patterns: Sequence[np.ndarray]) -> np.ndarray:
         """Scores for all pairs; order preserved. Pairs where the pattern
-        is longer than the text are swapped internally (the DP is
-        symmetric up to the same swap the CLI performs)."""
+        is longer than the text are swapped internally — for global/local
+        the DP is symmetric up to that swap (the same swap the CLI
+        performs); for semi-global the swap changes which sequence gets
+        the free end-gaps, so semi batches always fit the *shorter*
+        sequence into the longer one, matching the CLI's behavior on the
+        same pair of files."""
         texts = [np.asarray(t, dtype=np.int32) for t in texts]
         patterns = [np.asarray(p, dtype=np.int32) for p in patterns]
         for i in range(len(texts)):

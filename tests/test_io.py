@@ -42,6 +42,23 @@ def test_parse_score_matrix_file():
     )
 
 
+def test_get_score_protein():
+    # getScore double-lookup semantics (reference: utilities.cpp:17-25)
+    # against known BLOSUM50 entries.
+    request = Request()
+    request.set_sequence_type(constants.SequenceType.PROTEIN)
+    rc = parse_score_matrix_file(
+        constants.DEFAULT_PROTEIN_SCORE_MATRIX_FILE,
+        request.alphabet_size,
+        request.score_matrix,
+    )
+    assert rc == 0
+    args = (request.alphabet, request.alphabet_size, request.score_matrix)
+    assert get_score("W", "W", *args) == 15
+    assert get_score("A", "W", *args) == -3
+    assert get_score("H", "Y", *args) == 2
+
+
 def test_parse_score_matrix_corrupt():
     request = Request()
     rc = parse_score_matrix_file(

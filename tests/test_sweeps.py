@@ -6,9 +6,10 @@ always compared; aligned strings and offsets only for global (local
 optima are non-unique only across implementations with different tie
 policies — ours match, but we mirror the reference's checks).
 
-The reference caps text length at 20000 bytes; CI uses smaller caps for
-runtime (override with SEQALIGN_SWEEP_CAP_DNA / _PROTEIN=20000 for the
-full reference-equivalent sweep).
+The reference caps text length at 20000 bytes (tests.cu:486-487); CI
+uses smaller caps for runtime.  SEQALIGN_SWEEP_FULL=1 runs the full
+reference-equivalent 20000-byte sweep (both alphabets); the individual
+SEQALIGN_SWEEP_CAP_DNA / _PROTEIN variables override either cap.
 """
 
 import itertools
@@ -20,8 +21,13 @@ from seqalign_tpu.constants import AlignmentType, Device
 
 from .helpers import files_in, request_from_argv, response_tuple, run
 
-DNA_CAP = int(os.environ.get("SEQALIGN_SWEEP_CAP_DNA", 8000))
-PROTEIN_CAP = int(os.environ.get("SEQALIGN_SWEEP_CAP_PROTEIN", 1200))
+_FULL = os.environ.get("SEQALIGN_SWEEP_FULL", "") == "1"
+DNA_CAP = int(
+    os.environ.get("SEQALIGN_SWEEP_CAP_DNA", 20000 if _FULL else 8000)
+)
+PROTEIN_CAP = int(
+    os.environ.get("SEQALIGN_SWEEP_CAP_PROTEIN", 20000 if _FULL else 1200)
+)
 
 
 def _sweep(directory, type_flag, gap, cap):
