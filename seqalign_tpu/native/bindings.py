@@ -81,6 +81,10 @@ def _library() -> ctypes.CDLL:
         lib.sa_walk_packed_window.argtypes = [
             i32p, i64, i64, i64, i32, pi64, pi64, u8p, i64, pi32,
         ]
+        lib.sa_walk_skewed_window.restype = i64
+        lib.sa_walk_skewed_window.argtypes = [
+            i32p, i64, i64, i64, i64, i32, pi64, pi64, u8p, i64, pi32,
+        ]
         lib.sa_emit_moves.restype = None
         lib.sa_emit_moves.argtypes = [
             u8p, i64, i64, i64, i32, i8p, i8p, i32,
@@ -357,6 +361,36 @@ def walk_packed_window(
     done = ctypes.c_int32()
     count = lib.sa_walk_packed_window(
         words.reshape(-1), p_cols, row_lo, col_lo, 1 if local else 0,
+        ctypes.byref(io_i), ctypes.byref(io_j), moves, moves.shape[0],
+        ctypes.byref(done),
+    )
+    return moves[:count].copy(), io_i.value, io_j.value, bool(done.value)
+
+
+def walk_skewed_window(
+    words: np.ndarray,
+    rps: int,
+    slots: int,
+    row_lo: int,
+    col_lo: int,
+    i: int,
+    j: int,
+    local: bool,
+) -> Tuple[np.ndarray, int, int, bool]:
+    """walk_packed_window over the wavefront kernel's skewed word format
+    (one re-filled tile in tile-local coordinates); see oracle.cpp
+    sa_walk_skewed_window."""
+    lib = _library()
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    n_words = words.reshape(-1).shape[0]
+    rows = rps * slots
+    steps = (n_words // (rps * slots)) * 16
+    moves = np.empty(rows + steps + 1, dtype=np.uint8)
+    io_i = ctypes.c_int64(i)
+    io_j = ctypes.c_int64(j)
+    done = ctypes.c_int32()
+    count = lib.sa_walk_skewed_window(
+        words.reshape(-1), rps, slots, row_lo, col_lo, 1 if local else 0,
         ctypes.byref(io_i), ctypes.byref(io_j), moves, moves.shape[0],
         ctypes.byref(done),
     )

@@ -728,6 +728,37 @@ int64_t sa_walk_packed_window(const int32_t* words, int64_t p_cols,
   return len;
 }
 
+// sa_walk_packed_window over the wavefront kernel's *skewed* word format
+// (one re-filled tile, words in tile-local coordinates; see skewed_dir).
+int64_t sa_walk_skewed_window(const int32_t* words, int64_t rps,
+                              int64_t slots, int64_t row_lo, int64_t col_lo,
+                              int32_t local, int64_t* io_i, int64_t* io_j,
+                              uint8_t* out_moves, int64_t cap,
+                              int32_t* out_done) {
+  int64_t i = *io_i;
+  int64_t j = *io_j;
+  int64_t len = 0;
+  *out_done = 0;
+  while (i > row_lo && j > col_lo && len < cap) {
+    const uint8_t dir =
+        skewed_dir(words, 0, rps, slots, i - row_lo, j - col_lo);
+    if (local && dir == kStop) {
+      *out_done = 1;
+      break;
+    }
+    out_moves[len++] = dir;
+    if (dir == kDiag || dir == kLeft) --j;
+    if (dir == kDiag || dir == kTop) --i;
+    if (local && (i == 0 || j == 0)) {
+      *out_done = 1;
+      break;
+    }
+  }
+  *io_i = i;
+  *io_j = j;
+  return len;
+}
+
 // Replay a move list recorded in walk (end-to-start) order starting at
 // cell (start_i, start_j), emitting aligned characters with the same
 // cursor/clamp semantics as sa_traceback_nw_packed / _sw_packed (for

@@ -13,9 +13,11 @@ the BENCHMARK macro.  Here:
   crosses a checkpoint column).  Total checkpoint memory is
   O(n*m / tile) — ~250 MB at 500k^2 — instead of O(n*m).
 * Phase 2 re-fills direction words for just the O(n/ckpt_cols +
-  m/strip_rows) tiles the optimal path crosses (strip kernel, seeded
-  from the saved boundaries) and walks each tile on device, so only the
-  O(n+m) move list ever crosses the host link.
+  m/strip_rows) tiles the optimal path crosses — with the *same*
+  wavefront kernel, seeded from the saved boundaries through its
+  left-boundary-column input (wavefront.make_left_input) — and walks
+  each tile on device in the same dispatch, so only the O(n+m) move
+  list ever crosses the host link.
 
 Directions are recomputed bit-exactly by kernels already validated
 against the oracle, so alignments stay byte-identical to the CPU
@@ -39,9 +41,7 @@ import numpy as np
 from .. import config
 from ..native import bindings
 from . import pallas_fill, wavefront
-from .pallas_fill import SUBLANES
-from .tiled import _strip_profile
-from .traceback import device_walk_window
+from .traceback import device_walk_skewed_window
 
 _INT = jnp.int32
 _LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
@@ -192,84 +192,89 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     )
 
 
-def _tile_inputs(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
-                 cache: dict):
-    """Boundary inputs of tile (column strip c, row block b): the strip
-    profile, pattern chunk, left boundary column and top boundary row."""
-    strip_off = c * ck.ckpt_cols
-    row_base = b * ck.rows
-    if ("prof", c) not in cache:
-        cache[("prof", c)] = _strip_profile(
-            cache["text"], sm, k_alpha, strip_off, ck.ckpt_cols, ck.n
-        )
-    l = ck.ckpt_cols // SUBLANES
-
-    # Left boundary column S[row_base + r, strip_off], r = 0..rows.
-    if c == 0:
-        lc = jnp.asarray(
-            pallas_fill.nw_boundary_col(row_base, ck.rows, ck.gap, ck.local)
-        )
-    else:
-        body = ck.colvals[b][c - 1]
-        if b == 0:
-            corner_val = 0 if (ck.local or ck.semi) else -ck.gap * strip_off
-            corner = jnp.full((1,), corner_val, _INT)
-        else:
-            corner = ck.boundaries[b - 1][strip_off - 1 : strip_off]
-        lc = jnp.concatenate([corner, body])
-
-    # Top boundary row S[row_base, strip_off+1 .. strip_off+ckpt_cols]
-    # in the strip kernel's (8, L) segmented layout.
-    if b == 0:
-        prev_row = jnp.asarray(
-            pallas_fill.init_prev_row(
-                l, strip_off, ck.gap, ck.local or ck.semi
-            )
-        )
-    else:
-        prev_row = ck.boundaries[b - 1][
-            strip_off : strip_off + ck.ckpt_cols
-        ].reshape(SUBLANES, l)
-    return (
-        cache[("prof", c)],
-        cache["pattern"][row_base : row_base + ck.rows],
-        lc,
-        prev_row,
-    )
-
-
-def _refill_tile(ck: CheckpointedFill, sm, k_alpha: int, c: int, b: int,
-                 cache: dict):
-    """Recompute tile (c, b)'s packed direction words from the saved
-    boundaries (device array, tile-local layout)."""
-    profile, pat_chunk, lc, prev_row = _tile_inputs(ck, sm, k_alpha, c, b,
-                                                    cache)
-    dirs, _, _, _ = pallas_fill.strip_fill_pallas(
-        profile, pat_chunk,
-        jnp.asarray(ck.gap, _INT), ck.n, ck.m,
-        b * ck.rows, c * ck.ckpt_cols,
-        lc, prev_row,
-        jnp.asarray(pallas_fill._zeros_state(ck.local)),
-        local=ck.local, with_dirs=True,
-        interpret=config.pallas_interpret(),
-    )
-    return dirs.reshape(dirs.shape[0], ck.ckpt_cols)
-
-
 @functools.partial(
-    jax.jit, static_argnames=("local", "max_moves")
+    jax.jit,
+    static_argnames=(
+        "k_alpha", "local", "semi", "rps", "slots", "ckpt_cols",
+        "tile_blocks", "max_moves", "interpret",
+    ),
 )
-def _refill_walk(profile, pat_chunk, gap, n, m, row_base, strip_off,
-                 lc, prev_row, state0, i, j, local: bool, max_moves: int):
-    """One dispatch: re-fill a tile's direction words and walk them on
-    device — only the move list comes back to the host."""
-    dirs, _, _, _ = pallas_fill.strip_fill_pallas(
-        profile, pat_chunk, gap, n, m, row_base, strip_off,
-        lc, prev_row, state0, local=local, with_dirs=True,
+def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all, sm,
+                      gap, b, c, i, j, k_alpha: int, local: bool,
+                      semi: bool, rps: int, slots: int, ckpt_cols: int,
+                      tile_blocks: int, max_moves: int,
+                      interpret: bool = False):
+    """One dispatch: gather tile (c, b)'s boundary inputs from the saved
+    checkpoints, re-fill its direction words with the *wavefront* kernel
+    (left-boundary-column variant — ~13x the strip kernel this replaced)
+    and walk them on device; only the move list returns to the host.
+
+    All tile coordinates are traced, so a single compilation serves every
+    tile of a traceback.  Array layouts:
+      text_pad: (L,) — text letters, zero-padded to
+        (num_col_tiles-1)*ckpt_cols + tile_blocks*STEPS.
+      pats_all: (num_strips, rps, slots/128, 128) — phase-1 pattern slots.
+      colvals_all: (num_strips, num_ckpts, rows) — column checkpoints,
+        entry (b, q, ri) = S[b*rows + ri + 1, (q+1)*ckpt_cols].
+      bounds_all: (num_strips, L) — bottom boundary rows, entry (b, t) =
+        S[(b+1)*rows, t+1].
+    """
+    rows = rps * slots
+    tile_steps = tile_blocks * wavefront.STEPS
+    row_lo = b * rows
+    col_lo = c * ckpt_cols
+    gap = jnp.asarray(gap, _INT)
+
+    # Top boundary row S[row_lo, col_lo + t + 1] per sweep step t.
+    tvec = jnp.arange(tile_steps, dtype=_INT)
+    if local or semi:
+        arith_bot = jnp.zeros((tile_steps,), _INT)
+    else:
+        arith_bot = -(gap * (col_lo + tvec + 1))
+    stored_bot = jax.lax.dynamic_slice(
+        bounds_all, (jnp.maximum(b - 1, 0), col_lo), (1, tile_steps)
+    )[0]
+    bot = jnp.where(b == 0, arith_bot, stored_bot)
+
+    # Left boundary column S[row_lo + ri, col_lo], ri = 0..rows.
+    rvec = jnp.arange(rows, dtype=_INT)
+    arith_col = (
+        jnp.zeros((rows,), _INT) if local else -(gap * (row_lo + rvec + 1))
     )
-    words = dirs.reshape(dirs.shape[0], -1)
-    return device_walk_window(
-        words, row_base, strip_off, i, j, local, max_moves
+    stored_col = jax.lax.dynamic_slice(
+        colvals_all, (b, jnp.maximum(c - 1, 0), 0), (1, 1, rows)
+    ).reshape(rows)
+    body = jnp.where(c == 0, arith_col, stored_col)
+    corner_c0 = jnp.asarray(0 if local else -1, _INT) * gap * row_lo
+    corner_b0 = jnp.asarray(0 if (local or semi) else -1, _INT) * gap * col_lo
+    stored_corner = jax.lax.dynamic_slice(
+        bounds_all,
+        (jnp.maximum(b - 1, 0), jnp.maximum(col_lo - 1, 0)),
+        (1, 1),
+    ).reshape(())
+    corner = jnp.where(
+        c == 0, corner_c0, jnp.where(b == 0, corner_b0, stored_corner)
+    )
+    left_in = wavefront.make_left_input(
+        jnp.concatenate([corner.reshape(1), body]), rps, slots
+    )
+
+    ts = jax.lax.dynamic_slice(text_pad, (col_lo,), (tile_steps,))
+    pat_slots = jax.lax.dynamic_slice(
+        pats_all, (b, 0, 0, 0), (1, rps, slots // 128, 128)
+    )[0]
+    # n/m feed only the (ignored) best-cell trackers here; semi tiles
+    # fill with the plain NW recurrence (the modes differ only in
+    # boundaries and tracking).
+    dirs, _, _, _, _, _ = wavefront.wavefront_strip(
+        ts.reshape(tile_blocks, wavefront.STEPS),
+        bot.reshape(tile_blocks, wavefront.STEPS),
+        pat_slots, sm, gap, tile_steps, rows, row_lo,
+        k_alpha=k_alpha, local=local, with_dirs=True, rps=rps,
+        slots=slots, left_in=left_in, interpret=interpret,
+    )
+    return device_walk_skewed_window(
+        dirs, rps, row_lo, col_lo, i, j, local, max_moves
     )
 
 
@@ -285,10 +290,32 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
         : k_alpha * k_alpha
     ].reshape(k_alpha, k_alpha)
-    m_pad = len(ck.colvals) * ck.rows
-    pat_pad = np.zeros(m_pad, dtype=np.int32)
+    rps = ck.rps
+    slots = ck.rows // rps
+    num_strips = len(ck.colvals)
+    num_col_tiles = max(1, -(-ck.n // ck.ckpt_cols))
+    tile_blocks = -(-(ck.ckpt_cols + slots - 1) // wavefront.STEPS)
+    tile_steps = tile_blocks * wavefront.STEPS
+
+    # Stack the phase-1 boundary handles into single device arrays so
+    # every tile is one dynamic_slice inside the jitted re-fill+walk.
+    l_pad = (num_col_tiles - 1) * ck.ckpt_cols + tile_steps
+    text_pad = np.zeros(l_pad, dtype=np.int32)
+    text_pad[: ck.n] = text_np
+    text_pad = jnp.asarray(text_pad)
+    bounds = jnp.stack(ck.boundaries)
+    if bounds.shape[1] < l_pad:
+        bounds = jnp.pad(bounds, ((0, 0), (0, l_pad - bounds.shape[1])))
+    colvals_all = jnp.stack(ck.colvals)
+    pat_pad = np.zeros(num_strips * ck.rows, dtype=np.int32)
     pat_pad[: ck.m] = pattern_np
-    cache = {"text": text_np, "pattern": jnp.asarray(pat_pad)}
+    pats_all = jnp.asarray(
+        np.ascontiguousarray(
+            pat_pad.reshape(num_strips, slots, rps).transpose(0, 2, 1)
+        ).reshape(num_strips, rps, slots // 128, 128)
+    )
+    sm_dev = jnp.asarray(sm)
+    interpret = config.pallas_interpret()
 
     local = ck.local
     if local:
@@ -303,9 +330,6 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
         i, j = ck.m, ck.n
         done = False
     max_moves = ck.rows + ck.ckpt_cols + 1
-    use_device_walk = (
-        config.use_pallas() and not config.pallas_interpret()
-    )
     moves_parts = []
     start_i, start_j = i, j
 
@@ -321,27 +345,16 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             break
         c = (j - 1) // ck.ckpt_cols
         b = (i - 1) // ck.rows
-        row_lo, col_lo = b * ck.rows, c * ck.ckpt_cols
-        if use_device_walk:
-            profile, pat_chunk, lc, prev_row = _tile_inputs(
-                ck, sm, k_alpha, c, b, cache
-            )
-            out, k, i_d, j_d, done_d = _refill_walk(
-                profile, pat_chunk, jnp.asarray(ck.gap, _INT), ck.n, ck.m,
-                row_lo, col_lo, lc, prev_row,
-                jnp.asarray(pallas_fill._zeros_state(local)),
-                i, j, local, max_moves,
-            )
-            k = int(k)
-            mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
-            i, j, tile_done = int(i_d), int(j_d), bool(done_d)
-        else:
-            words_np = np.asarray(
-                jax.device_get(_refill_tile(ck, sm, k_alpha, c, b, cache))
-            )
-            mv, i, j, tile_done = bindings.walk_packed_window(
-                words_np, row_lo, col_lo, i, j, local
-            )
+        out, k, i_d, j_d, done_d = _tile_refill_walk(
+            text_pad, pats_all, colvals_all, bounds, sm_dev, ck.gap,
+            b, c, i, j, k_alpha=k_alpha, local=local, semi=ck.semi,
+            rps=rps, slots=slots, ckpt_cols=ck.ckpt_cols,
+            tile_blocks=tile_blocks, max_moves=max_moves,
+            interpret=interpret,
+        )
+        k = int(k)
+        mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
+        i, j, tile_done = int(i_d), int(j_d), bool(done_d)
         moves_parts.append(mv)
         if local:
             done = tile_done

@@ -125,8 +125,9 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                       sub_rows: int, affine: bool, semi: bool,
+                      with_dirs: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
-                      out_ref, row_ref, f_ref):
+                      out_ref, dirs_ref, row_ref, f_ref, state_scr):
     """Inter-pair batch fill: tile_pairs pairs per grid step, one pair
     per (sublane-row, lane) slot; DP cells walked sequentially per pair.
 
@@ -136,6 +137,13 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     elementwise op — no prefix scan, no rolls, no reductions anywhere.
     Larger sub_rows amortize the per-cell dependency-chain latency over
     more vector registers.
+
+    with_dirs: the grid gains a second (word-row) dimension — each step
+    fills 16 pattern rows and writes one (n_cols, sub_rows, 128) block
+    of packed direction words (word w, column j = 2-bit dirs of rows
+    16w+1..16w+16 at column j+1, the pair-batched analog of the strip
+    kernel's format), plus per-pair best-cell tracking (row-major first
+    occurrence, strict improvement — alignSequenceCPU.cpp:191-192).
     """
     g = gap_ref[0, 0]   # gap penalty (affine: gap-open)
     ge = gap_ref[0, 1]  # gap-extend (affine only)
@@ -143,6 +151,18 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     mvec = ms_ref[0]
     zero = jnp.zeros((sub_rows, 128), _INT)
     neg = jnp.full((sub_rows, 128), NEG_INF // 2, _INT)
+    if with_dirs:
+        w_blk = pl.program_id(1)
+        num_w = pl.num_programs(1)
+        rows_here = DIR_ROWS_PER_WORD
+        row_off = w_blk * rows_here
+        first = w_blk == 0
+        last = w_blk == num_w - 1
+    else:
+        rows_here = m_rows
+        row_off = 0
+        first = True
+        last = True
 
     # Row 0: H[0, j] = 0 (local/semi) / -g*j (global; affine: -g - j*ge).
     def init_col(j, _):
@@ -156,13 +176,27 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             f_ref[j] = neg
         return 0
 
-    jax.lax.fori_loop(0, n_cols, init_col, 0)
+    def _init():
+        jax.lax.fori_loop(0, n_cols, init_col, 0)
+        if with_dirs:
+            state_scr[0] = jnp.full((sub_rows, 128), NEG_INF, _INT)
+            state_scr[1] = zero  # best_i
+            state_scr[2] = zero  # best_j
+
+    if with_dirs:
+        pl.when(first)(_init)
+    else:
+        _init()
 
     # sm_ref columns: packed planes (big alphabets) or raw scores (k<=4).
     n_coef = -(-k_alpha // 4) if _use_packed_subs(k_alpha) else k_alpha
 
-    def row_step(i, acc):
-        pat = pats_ref[i - 1]  # (8, 128) pattern letter of row i per pair
+    def row_step(ri, carry):
+        acc, bi, bj = carry
+        i = row_off + ri  # 1-based DP row
+        # pats block: whole pattern (score-only) or this word-row's 16
+        # rows (with_dirs 2D grid) — index is block-local either way.
+        pat = pats_ref[i - 1 - row_off]  # pattern letter of row i per pair
         # Per-row substitution coefficients, selected by pattern letter:
         # packed planes (see pack_score_matrix) or raw per-text-letter
         # scores sm[pat, c].
@@ -185,7 +219,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             s_im1_0 = (-g * (i - 1)) + zero
 
         def cell_step(j, carry):
-            left, diag_carry, e, acc = carry
+            left, diag_carry, e, acc, bi, bj = carry
             text_j = texts_ref[j]
             if _use_packed_subs(k_alpha):
                 sub = _packed_lookup(planes, text_j)
@@ -194,31 +228,59 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 for c in range(k_alpha - 1):
                     sub = jnp.where(text_j == c, planes[c], sub)
             prev_j = row_ref[j]
+            diag = diag_carry + sub
             if affine:
                 e = jnp.maximum(e - ge, left - g)
                 f = jnp.maximum(f_ref[j] - ge, prev_j - g)
                 f_ref[j] = f
-                cur = jnp.maximum(diag_carry + sub, jnp.maximum(e, f))
+                gap_best = jnp.maximum(e, f)
             else:
-                cur = jnp.maximum(
-                    diag_carry + sub, jnp.maximum(prev_j, left) - g
-                )
+                gap_best = jnp.maximum(prev_j, left) - g
+            cur = jnp.maximum(diag, gap_best)
             if local:
                 cur = jnp.maximum(cur, 0)
             row_ref[j] = cur
+            if with_dirs:
+                # Reference tie policy: DIAG only if strictly greater
+                # than both gap moves; LEFT beats TOP on gap ties.
+                is_diag = diag > gap_best
+                is_left = jnp.logical_and(
+                    jnp.logical_not(is_diag), left >= prev_j
+                )
+                d = jnp.where(
+                    is_diag, 1, jnp.where(is_left, 0, 2)
+                ).astype(_INT)
+                if local:
+                    d = jnp.where(jnp.maximum(diag, gap_best) > 0, d, 3)
+                word = d << (2 * ((i - 1) % DIR_ROWS_PER_WORD))
+                dirs_ref[j] = jnp.where(
+                    (i - 1) % DIR_ROWS_PER_WORD == 0,
+                    word,
+                    dirs_ref[j] | word,
+                )
             if local:
                 ok = jnp.logical_and(j < nvec, row_live)
-                acc = jnp.maximum(acc, jnp.where(ok, cur, NEG_INF))
+                cand = jnp.where(ok, cur, NEG_INF)
+                if with_dirs:
+                    improved = cand > acc
+                    bi = jnp.where(improved, i, bi)
+                    bj = jnp.where(improved, j + 1, bj)
+                acc = jnp.maximum(acc, cand)
             elif semi:
                 # Max over the last pattern row (fit alignment).
                 ok = jnp.logical_and(
                     jnp.logical_and(row_live, i == mvec), j < nvec
                 )
-                acc = jnp.maximum(acc, jnp.where(ok, cur, NEG_INF))
+                cand = jnp.where(ok, cur, NEG_INF)
+                if with_dirs:
+                    improved = cand > acc
+                    bi = jnp.where(improved, i, bi)
+                    bj = jnp.where(improved, j + 1, bj)
+                acc = jnp.maximum(acc, cand)
             else:
                 hit = jnp.logical_and(row_live, jnp.logical_and(i == mvec, j == nvec - 1))
                 acc = jnp.where(hit, cur, acc)
-            return cur, prev_j, e, acc
+            return cur, prev_j, e, acc, bi, bj
 
         # Mosaic fori supports only unroll=1/full; unroll manually to
         # amortize loop overhead over the 3-op cells.
@@ -231,19 +293,35 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 carry = cell_step(b * unroll + u, carry)
             return carry
 
-        _, _, _, acc = jax.lax.fori_loop(
-            0, n_cols // unroll, cell_block, (s_i0, s_im1_0, neg, acc)
+        _, _, _, acc, bi, bj = jax.lax.fori_loop(
+            0, n_cols // unroll, cell_block,
+            (s_i0, s_im1_0, neg, acc, bi, bj),
         )
-        return acc
+        return acc, bi, bj
 
-    acc0 = jnp.full((sub_rows, 128), NEG_INF, _INT)
-    if not local:
-        # m == 0 pairs fall back to the init row's value at column n.
-        acc0 = acc0  # overwritten below for real rows; padding pairs give garbage
-    acc = jax.lax.fori_loop(1, m_rows + 1, row_step, acc0)
-    if local:
-        acc = jnp.maximum(acc, 0)
-    out_ref[0] = acc
+    if with_dirs:
+        acc0, bi0, bj0 = state_scr[0], state_scr[1], state_scr[2]
+    else:
+        acc0, bi0, bj0 = jnp.full((sub_rows, 128), NEG_INF, _INT), zero, zero
+    acc, bi, bj = jax.lax.fori_loop(
+        1, rows_here + 1, row_step, (acc0, bi0, bj0)
+    )
+    if with_dirs:
+        state_scr[0] = acc
+        state_scr[1] = bi
+        state_scr[2] = bj
+
+    def _finish():
+        final = jnp.maximum(acc, 0) if local else acc
+        out_ref[0] = final
+        if with_dirs:
+            out_ref[1] = bi
+            out_ref[2] = bj
+
+    if with_dirs:
+        pl.when(last)(_finish)
+    else:
+        _finish()
 
 
 @functools.partial(
@@ -315,9 +393,10 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
 
     assert not (semi and local)
     kernel = functools.partial(
-        _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi
+        _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
+        False,
     )
-    out = pl.pallas_call(
+    out, _ = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
@@ -331,11 +410,18 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
             pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, sub_rows, 128), _INT),
+        out_specs=(
+            pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, sub_rows, 128), lambda t: (0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, sub_rows, 128), _INT),
+            jax.ShapeDtypeStruct((1, sub_rows, 128), _INT),  # dirs dummy
+        ),
         scratch_shapes=[
             pltpu.VMEM((n, sub_rows, 128), _INT),
             pltpu.VMEM((n if affine else 1, sub_rows, 128), _INT),
+            pltpu.VMEM((1, sub_rows, 128), _INT),
         ],
         # Text/pattern blocks + row state scale with tile_pairs; lift the
         # compiler's default 16 MiB scoped-VMEM cap when they need more.
@@ -348,6 +434,119 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
       ms_s.reshape(num_tiles, sub_rows, 128))
     # Slot-major -> pair order.
     return out.reshape(num_tiles, tile_pairs).reshape(-1)
+
+
+DIRS_TILE_PAIRS = 2048  # pairs/grid-step of the dirs-emitting batch kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_alpha", "local", "semi", "tile_pairs", "interpret"),
+)
+def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
+                           k_alpha: int, local: bool = False,
+                           semi: bool = False,
+                           tile_pairs: int = DIRS_TILE_PAIRS,
+                           interpret: bool = False):
+    """Batched fill emitting packed direction words (inter-pair kernel).
+
+    The end-to-end batch path: one dispatch fills a whole padded batch
+    AND leaves per-pair 2-bit direction words in HBM for the batched
+    device traceback (ops/batch_traceback.py).  The reference can only
+    loop full alignments one request at a time
+    (tests/benchmarks.cu:271-332).
+
+    Args: as batch_score_pallas (linear gap only); patterns' padded width
+    must be a multiple of 16 (DIR_ROWS_PER_WORD).
+
+    Returns (scores, best_is, best_js, dirs):
+      scores: (B,) int32 (local scores floored at 0 like the reference);
+      best_is/best_js: (B,) int32 — SW/semi best cell (first row-major
+        occurrence; garbage for global — the walk starts at (m, n));
+      dirs: (num_tiles, m/16, n, sub_rows, 128) int32 — word (t, w, j)
+        holds the 2-bit directions of DP rows 16w+1..16w+16 at column
+        j+1 of every pair in tile t (slot = sublane-row*128 + lane).
+    """
+    b, n = texts.shape
+    m = patterns.shape[1]
+    assert m % DIR_ROWS_PER_WORD == 0, "pad patterns to a multiple of 16"
+    assert tile_pairs % 128 == 0 and b % tile_pairs == 0
+    num_tiles = b // tile_pairs
+    sub_rows = tile_pairs // 128
+    num_w = m // DIR_ROWS_PER_WORD
+
+    def to_slots(x, width):
+        return (
+            x.astype(_INT)
+            .reshape(num_tiles, tile_pairs, width)
+            .transpose(0, 2, 1)
+            .reshape(num_tiles * width, sub_rows, 128)
+        )
+
+    texts_s = to_slots(texts, n)
+    pats_s = to_slots(patterns, m)
+    gap_arr = jnp.stack(
+        [jnp.asarray(gap, _INT), jnp.asarray(gap, _INT)]
+    ).reshape(1, 2)
+    if _use_packed_subs(k_alpha):
+        sm = pack_score_matrix_traced(score_matrix, k_alpha)
+    else:
+        sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
+
+    assert not (semi and local)
+    kernel = functools.partial(
+        _interpair_kernel, k_alpha, local, n, m, sub_rows, False, semi,
+        True,
+    )
+    out, dirs = pl.pallas_call(
+        kernel,
+        grid=(num_tiles, num_w),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2), lambda t, w: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (k_alpha, sm.shape[1]), lambda t, w: (0, 0),
+                memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((n, sub_rows, 128), lambda t, w: (t, 0, 0)),
+            pl.BlockSpec(
+                (DIR_ROWS_PER_WORD, sub_rows, 128),
+                lambda t, w: (t * num_w + w, 0, 0),
+            ),
+            pl.BlockSpec((1, sub_rows, 128), lambda t, w: (t, 0, 0)),
+            pl.BlockSpec((1, sub_rows, 128), lambda t, w: (t, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, sub_rows, 128), lambda t, w: (t, 0, 0)),
+            pl.BlockSpec(
+                (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * 3, sub_rows, 128), _INT),
+            jax.ShapeDtypeStruct(
+                (num_tiles * num_w * n, sub_rows, 128), _INT
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, sub_rows, 128), _INT),
+            pltpu.VMEM((1, sub_rows, 128), _INT),
+            pltpu.VMEM((3, sub_rows, 128), _INT),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(gap_arr, sm, texts_s, pats_s,
+      jnp.asarray(ns, _INT).reshape(num_tiles, sub_rows, 128),
+      jnp.asarray(ms, _INT).reshape(num_tiles, sub_rows, 128))
+    out = out.reshape(num_tiles, 3, tile_pairs)
+    scores = out[:, 0, :].reshape(-1)
+    best_is = out[:, 1, :].reshape(-1)
+    best_js = out[:, 2, :].reshape(-1)
+    dirs = dirs.reshape(num_tiles, num_w, n, sub_rows, 128)
+    return scores, best_is, best_js, dirs
 
 
 # ----------------------------------------------------------------------------

@@ -22,6 +22,8 @@ import numpy as np
 
 from .pallas_fill import DIR_ROWS_PER_WORD
 
+DIR_STEPS_PER_WORD = 16  # skewed format: 16 sweep steps per int32 word
+
 _INT = jnp.int32
 _LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
 
@@ -192,6 +194,110 @@ def device_walk_window(words, row_lo, col_lo, i0, j0, local: bool,
          jnp.asarray(0, _INT), jnp.asarray(False), out0),
     )
     return out, k, i, j, done
+
+
+def _read_dir_skewed(words, rps: int, i, j):
+    """Direction of tile-local cell (i, j) (1-based) from the wavefront
+    kernel's skewed word format: slot s = (i-1)//rps owns in-slot row
+    r = (i-1)%rps; the cell's sweep step is t = j-1+s and word
+    ((t//16)*rps + r, s//128, s%128) holds its 2 bits at bit 2*(t%16)."""
+    ri = i - 1
+    slot = ri // rps
+    r = ri - slot * rps
+    t = j - 1 + slot
+    word = words[(t // DIR_STEPS_PER_WORD) * rps + r, slot // 128, slot % 128]
+    return (word >> (2 * (t % DIR_STEPS_PER_WORD))) & 3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rps", "local", "max_moves")
+)
+def device_walk_skewed_window(words, rps: int, row_lo, col_lo, i0, j0,
+                              local: bool, max_moves: int):
+    """device_walk_window over the wavefront kernel's *skewed* word
+    format (one re-filled tile, tile-local coordinates).
+
+    ``words``: (tile_steps/16 * rps, slots/128, 128) int32 from
+    wavefront_strip(with_dirs=True).  Mirrors the native
+    sa_walk_skewed_window exactly.  Returns (moves, count, i, j, done).
+    """
+    out0 = jnp.zeros((max_moves,), jnp.int32)
+    row_lo = jnp.asarray(row_lo, _INT)
+    col_lo = jnp.asarray(col_lo, _INT)
+    unroll = 8
+
+    def inside(i, j, done):
+        return jnp.logical_and(
+            jnp.logical_not(done),
+            jnp.logical_and(i > row_lo, j > col_lo),
+        )
+
+    def cond(state):
+        i, j, k, done, out = state
+        return inside(i, j, done)
+
+    def body(state):
+        i, j, k, done, out = state
+        for _ in range(unroll):
+            live = inside(i, j, done)
+            d = _read_dir_skewed(
+                words, rps,
+                jnp.maximum(i - row_lo, 1),
+                jnp.maximum(j - col_lo, 1),
+            )
+            stop = (d == _STOP) if local else jnp.asarray(False)
+            emit = jnp.logical_and(live, jnp.logical_not(stop))
+            out = jnp.where(emit, out.at[k].set(d), out)
+            k = k + jnp.where(emit, 1, 0)
+            take_t = jnp.logical_and(
+                emit, jnp.logical_or(d == _DIAG, d == _LEFT)
+            )
+            take_p = jnp.logical_and(
+                emit, jnp.logical_or(d == _DIAG, d == _TOP)
+            )
+            i = i - take_p.astype(_INT)
+            j = j - take_t.astype(_INT)
+            if local:
+                done = jnp.logical_or(
+                    done,
+                    jnp.logical_and(
+                        live,
+                        jnp.logical_or(
+                            stop, jnp.logical_or(i == 0, j == 0)
+                        ),
+                    ),
+                )
+        return (i, j, k, done, out)
+
+    i, j, k, done, out = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(i0, _INT), jnp.asarray(j0, _INT),
+         jnp.asarray(0, _INT), jnp.asarray(False), out0),
+    )
+    return out, k, i, j, done
+
+
+def pack_words_skewed(dirs_bytes: np.ndarray, rps: int,
+                      slots: int) -> np.ndarray:
+    """Pack a (rows+1, cols+1) byte direction matrix (incl. borders) into
+    the wavefront kernel's skewed word format — testing helper."""
+    m = dirs_bytes.shape[0] - 1
+    p = dirs_bytes.shape[1] - 1
+    assert m <= rps * slots
+    steps = p + slots - 1
+    steps_pad = -(-steps // DIR_STEPS_PER_WORD) * DIR_STEPS_PER_WORD
+    words = np.zeros(
+        (steps_pad // DIR_STEPS_PER_WORD * rps, slots // 128, 128),
+        dtype=np.int64,
+    )
+    for i in range(1, m + 1):
+        slot, r = (i - 1) // rps, (i - 1) % rps
+        for j in range(1, p + 1):
+            t = j - 1 + slot
+            words[
+                (t // DIR_STEPS_PER_WORD) * rps + r, slot // 128, slot % 128
+            ] |= int(dirs_bytes[i, j]) << (2 * (t % DIR_STEPS_PER_WORD))
+    return words.astype(np.uint32).astype(np.int32)
 
 
 def pack_words(dirs_bytes: np.ndarray) -> np.ndarray:

@@ -62,11 +62,17 @@ def strip_rows(r: int = ROWS_PER_SLOT) -> int:
 
 def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                       ckpt_every: int, slots: int, semi: bool,
+                      has_left: bool,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
-                      dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref,
-                      ckpt_ref,
-                      cur_scr, topsh_scr, w_scr, acc_scr, aj_scr, snap_scr,
-                      coll_scr, coef_scr, ckpt_scr):
+                      *refs):
+    if has_left:
+        left_ref = refs[0]
+        refs = refs[1:]
+    else:
+        left_ref = None
+    (dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref, ckpt_ref,
+     cur_scr, topsh_scr, w_scr, acc_scr, aj_scr, snap_scr,
+     coll_scr, coef_scr, ckpt_scr) = refs
     g_blk = pl.program_id(0)
     num_blk = pl.num_programs(0)
     n_planes = -(-k_alpha // 4)
@@ -92,22 +98,32 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
 
     @pl.when(g_blk == 0)
     def _init():
-        for r in range(rps):
-            cur_scr[r] = (
-                jnp.zeros((srows, 128), _INT)
-                if local
-                else -(gap * (ibase + r + 1))
+        # Left boundary column: slot s's row r starts holding
+        # S[i0 + rps*s + r + 1, col_lo] until the wave arrives.  With an
+        # explicit left_ref (tile re-fill) the values come from saved
+        # checkpoints; otherwise they are the arithmetic column-0
+        # boundary.  topsh's init only matters for slot 0 at t=0, whose
+        # first diagonal ancestor is the strip corner S[i0, col_lo];
+        # other slots get theirs via the shift chain (their neighbor's
+        # last-row boundary value, = left_ref[0] per slot).
+        if has_left:
+            for r in range(rps):
+                cur_scr[r] = left_ref[r + 1]
+            topsh_scr[:, :] = left_ref[0]
+        else:
+            for r in range(rps):
+                cur_scr[r] = (
+                    jnp.zeros((srows, 128), _INT)
+                    if local
+                    else -(gap * (ibase + r + 1))
+                )
+            last_boundary = (
+                jnp.zeros((srows, 128), _INT) if local else -(gap * ibase)
             )
-        # topsh's init only matters for slot 0 at t=0, whose first
-        # diagonal ancestor is the strip corner H[i0, 0]; other slots get
-        # theirs via the shift chain (boundary of the neighbor's last row).
-        last_boundary = (
-            jnp.zeros((srows, 128), _INT) if local else -(gap * ibase)
-        )
-        topsh_scr[:, :] = (
-            last_boundary if local
-            else jnp.where(pos00, -(gap * i0), last_boundary)
-        )
+            topsh_scr[:, :] = (
+                last_boundary if local
+                else jnp.where(pos00, -(gap * i0), last_boundary)
+            )
         w_scr[:, :] = jnp.zeros((srows, 128), _INT)
         if local or semi:
             for r in range(rps):
@@ -286,6 +302,22 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             snap_ref[:, :] = snap_scr[:, :]
 
 
+def make_left_input(lc_full, rps: int, slots: int):
+    """Slot-layout a left boundary column for wavefront_strip's left_in.
+
+    lc_full: (rps*slots + 1,) int32 — lc_full[ri] = S[row_lo + ri, col_lo]
+    for ri = 0..rows.  Returns (rps+1, slots/128, 128): entry (0, slot)
+    is lc_full[rps*slot] (the neighbor-boundary / corner value) and
+    entry (r+1, slot) is lc_full[rps*slot + r + 1] (the slot's own rows).
+    """
+    lc_full = jnp.asarray(lc_full, _INT)
+    body = lc_full[1:].reshape(slots, rps).T          # (rps, slots)
+    head = lc_full[:-1].reshape(slots, rps)[:, :1].T  # (1, slots)
+    return jnp.concatenate([head, body], axis=0).reshape(
+        rps + 1, slots // 128, 128
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -297,7 +329,8 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
                     gap, n, m, i0, k_alpha: int, local: bool = False,
                     with_dirs: bool = True, rps: int = ROWS_PER_SLOT,
                     ckpt_every: int = 0, slots: int = SLOTS,
-                    semi: bool = False, interpret: bool = False):
+                    semi: bool = False, left_in=None,
+                    interpret: bool = False):
     """Run one (rps*slots)-row strip sweep.
 
     Args:
@@ -311,6 +344,13 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         amortize the sequential per-step row chain over more vector
         registers (4096 measures ~2x over 1024); the skewed direction
         format and its walkers take the same slots factor.
+      left_in: optional (rps+1, slots/128, 128) int32 left boundary
+        column in make_left_input layout — the strip then fills the
+        sub-matrix starting at an arbitrary column col_lo whose left
+        boundary S[i, col_lo] it encodes (bottom_in must then hold
+        S[i0, col_lo+t+1]).  None = the arithmetic column-0 boundary.
+        Used by the checkpointed engine to re-fill path tiles at
+        wavefront speed.
 
     Returns (dirs, bottom_out, rowmax, argj, snap, ckpts):
       dirs: (num_blocks*STEPS/16*rps, 8, 128) skewed words — word
@@ -349,9 +389,10 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     # strip-0 bottom_in) with local-style max tracking masked to the last
     # pattern row — score = first max of row m.
     assert not (semi and local)
+    has_left = left_in is not None
     kernel = functools.partial(
         _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every,
-        slots, semi,
+        slots, semi, has_left,
     )
     if ckpt_every:
         num_ckpts = max(1, (num_blocks * STEPS) // ckpt_every)
@@ -375,16 +416,29 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     )
     vec = lambda: pl.BlockSpec((rps, srows, 128), lambda g: (0, 0, 0))  # noqa: E731
 
+    in_specs = [
+        smem((1, 4), lambda g: (0, 0)),
+        smem((k_alpha, n_planes), lambda g: (0, 0)),
+        smem((1, 1, STEPS), lambda g: (g, 0, 0)),
+        smem((1, 1, STEPS), lambda g: (g, 0, 0)),
+        vec(),
+    ]
+    inputs = [
+        scal, sm,
+        text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
+        bottom_in.astype(_INT).reshape(num_blocks, 1, STEPS),
+        pattern_slots.astype(_INT),
+    ]
+    if has_left:
+        in_specs.append(
+            pl.BlockSpec((rps + 1, srows, 128), lambda g: (0, 0, 0))
+        )
+        inputs.append(left_in.astype(_INT))
+
     dirs, bot_out, rowmax, argj, snap, ckpts = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
-        in_specs=[
-            smem((1, 4), lambda g: (0, 0)),
-            smem((k_alpha, n_planes), lambda g: (0, 0)),
-            smem((1, 1, STEPS), lambda g: (g, 0, 0)),
-            smem((1, 1, STEPS), lambda g: (g, 0, 0)),
-            vec(),
-        ],
+        in_specs=in_specs,
         out_specs=(
             dirs_spec,
             pl.BlockSpec(
@@ -419,9 +473,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
             pltpu.VMEM((ckpt_scr_rows, srows, 128), _INT),   # ckpt
         ],
         interpret=interpret,
-    )(scal, sm, text_steps.astype(_INT).reshape(num_blocks, 1, STEPS),
-      bottom_in.astype(_INT).reshape(num_blocks, 1, STEPS),
-      pattern_slots.astype(_INT))
+    )(*inputs)
     bot_flat = bot_out[:, srows - 1, :].reshape(-1)
     return (
         dirs,

@@ -168,3 +168,112 @@ class BatchAligner:
             for row, i in enumerate(bucket.indices):
                 out[i] = scores[row]
         return out
+
+    @staticmethod
+    def _dirs_tile_pairs(n_pad: int) -> int:
+        """Pairs per grid step of the dirs-emitting kernel, sized so the
+        ~4 (n_pad x tile_pairs) int32 VMEM buffers stay inside the lifted
+        scoped-VMEM budget."""
+        t = 128
+        while t < 2048 and 16 * n_pad * (t * 2) <= 64 * 1024 * 1024:
+            t *= 2
+        return t
+
+    def align(self, texts: Sequence[np.ndarray],
+              patterns: Sequence[np.ndarray]) -> list:
+        """Full alignments (score + traceback) for all pairs, end to end
+        on device: one dispatch fills a whole padded bucket with packed
+        direction words, a second walks every pair in lockstep — only
+        the aligned strings come back.  The reference can only loop
+        requests one at a time (tests/benchmarks.cu:271-332).
+
+        Unlike score(), pairs are aligned exactly as given (no internal
+        text/pattern swap — the tie policy is orientation-sensitive, so
+        a swap would change the optimal alignment reported; callers
+        wanting the CLI's longer-first convention should swap before the
+        call).  Returns a list of AlignmentResult (alphabet indices,
+        gap == alphabet size), byte-identical to the CPU oracle.
+        """
+        from ..models.base import AlignmentResult
+        from ..native import bindings
+        from ..ops.batch_traceback import batch_device_traceback
+
+        if self.gap_extend is not None:
+            raise ValueError(
+                "batched affine traceback is not supported (scoring only)"
+            )
+        texts = [np.asarray(t, dtype=np.int32) for t in texts]
+        patterns = [np.asarray(p, dtype=np.int32) for p in patterns]
+        use_pallas = config.use_pallas()
+        interpret = config.pallas_interpret()
+        if not use_pallas:
+            # Portable fallback: the oracle engine per pair.
+            k = self.score_matrix.shape[0]
+            algo = 2 if self.semi else (1 if self.local else 0)
+            out = []
+            for t, p in zip(texts, patterns):
+                at, ap, st, sp, sc = bindings.oracle_align(
+                    algo, t.astype(np.int8), p.astype(np.int8),
+                    np.asarray(self.score_matrix), k, self.gap_penalty,
+                )
+                out.append(AlignmentResult(at, ap, st, sp, sc))
+            return out
+
+        results: list = [None] * len(texts)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (t, p) in enumerate(zip(texts, patterns)):
+            n_pad = max(16, -(-len(t) // 16) * 16)
+            m_pad = max(16, -(-len(p) // 16) * 16)
+            groups.setdefault((n_pad, m_pad), []).append(i)
+
+        k_alpha = self.score_matrix.shape[0]
+        for (n_pad, m_pad), idx in sorted(groups.items()):
+            tile_pairs = self._dirs_tile_pairs(n_pad)
+            b = len(idx)
+            b_pad = -(-b // tile_pairs) * tile_pairs
+            t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
+            p_arr = np.zeros((b_pad, m_pad), dtype=np.int32)
+            ns = np.zeros(b_pad, dtype=np.int32)
+            ms = np.zeros(b_pad, dtype=np.int32)
+            for row, i in enumerate(idx):
+                t, p = texts[i], patterns[i]
+                t_arr[row, : t.shape[0]] = t
+                p_arr[row, : p.shape[0]] = p
+                ns[row], ms[row] = t.shape[0], p.shape[0]
+            scores, bis, bjs, dirs = pallas_fill.batch_fill_dirs_pallas(
+                jnp.asarray(t_arr), jnp.asarray(p_arr),
+                jnp.asarray(ns), jnp.asarray(ms),
+                self.score_matrix, self.gap_penalty,
+                k_alpha=k_alpha, local=self.local, semi=self.semi,
+                tile_pairs=tile_pairs, interpret=interpret,
+            )
+            if self.local:
+                # No-match pairs (best <= 0): empty alignment with the
+                # reference's cursor sentinels (maxIJ stays 0).
+                matched = scores > 0
+                bis = jnp.where(matched, bis, 0)
+                bjs = jnp.where(matched, bjs, 0)
+            out_t, out_p, lens, tis, pis, j_fin = batch_device_traceback(
+                dirs, jnp.asarray(t_arr), jnp.asarray(p_arr),
+                ns, ms, bis, bjs, k_alpha,
+                local=self.local, semi=self.semi, max_len=n_pad + m_pad,
+            )
+            scores, out_t, out_p, lens, tis, pis, j_fin = jax.device_get(
+                (scores, out_t, out_p, lens, tis, pis, j_fin)
+            )
+            for row, i in enumerate(idx):
+                ln = int(lens[row])
+                at = np.asarray(out_t[row, :ln][::-1], dtype=np.uint8)
+                ap = np.asarray(out_p[row, :ln][::-1], dtype=np.uint8)
+                if self.semi:
+                    st, sp = int(j_fin[row]), 0
+                else:
+                    st, sp = int(tis[row]), int(pis[row])
+                results[i] = AlignmentResult(
+                    aligned_text=at,
+                    aligned_pattern=ap,
+                    start_in_aligned_text=st,
+                    start_in_aligned_pattern=sp,
+                    score=int(scores[row]),
+                )
+        return results

@@ -1,0 +1,127 @@
+"""Batched end-to-end alignment (fill + device traceback) vs the oracle.
+
+The reference's batch benchmark loops full alignments one request at a
+time (tests/benchmarks.cu:271-332); BatchAligner.align() runs a whole
+padded batch in two dispatches and must stay byte-identical to the CPU
+oracle on every pair.
+"""
+
+import numpy as np
+import pytest
+
+from seqalign_tpu.native import bindings
+from seqalign_tpu.parallel.batch import BatchAligner
+
+
+def _dna_sm():
+    return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+
+
+def _random_pairs(rng, count, n_hi=48, m_hi=40):
+    texts, patterns = [], []
+    for _ in range(count):
+        texts.append(
+            rng.integers(0, 4, int(rng.integers(4, n_hi))).astype(np.int32)
+        )
+        patterns.append(
+            rng.integers(0, 4, int(rng.integers(3, m_hi))).astype(np.int32)
+        )
+    return texts, patterns
+
+
+@pytest.mark.parametrize(
+    "mode", [{}, {"local": True}, {"semi": True}]
+)
+def test_batch_align_matches_oracle(mode):
+    rng = np.random.default_rng(21)
+    sm = _dna_sm()
+    texts, patterns = _random_pairs(rng, 12)
+    if mode.get("semi"):
+        # Semi-global fits the pattern into the text: keep pattern shorter.
+        texts = [np.concatenate([t, t]) for t in texts]
+    aligner = BatchAligner(sm, 4, 5, **mode)
+    results = aligner.align(texts, patterns)
+    algo = 2 if mode.get("semi") else (1 if mode.get("local") else 0)
+    for t, p, r in zip(texts, patterns, results):
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            algo, t.astype(np.int8), p.astype(np.int8), sm, 4, 5
+        )
+        assert r.score == oscore, (t.shape, p.shape)
+        np.testing.assert_array_equal(r.aligned_text, oat)
+        np.testing.assert_array_equal(r.aligned_pattern, oap)
+        assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
+            ost, osp,
+        )
+
+
+def test_batch_align_protein_and_gap_grid():
+    # Protein alphabet (packed substitution planes) across gap penalties.
+    from seqalign_tpu import constants
+    from seqalign_tpu.io import parse_score_matrix_file
+
+    sm_full = np.zeros((24, 24), dtype=np.int32)
+    parse_score_matrix_file(
+        constants.DEFAULT_PROTEIN_SCORE_MATRIX_FILE, 23, sm_full
+    )
+    sm = sm_full[:23, :23]
+    rng = np.random.default_rng(22)
+    texts, patterns = [], []
+    for _ in range(6):
+        texts.append(
+            rng.integers(0, 23, int(rng.integers(8, 40))).astype(np.int32)
+        )
+        patterns.append(
+            rng.integers(0, 23, int(rng.integers(5, 36))).astype(np.int32)
+        )
+    for gap, local in ((1, False), (7, True)):
+        aligner = BatchAligner(sm, 23, gap, local=local)
+        results = aligner.align(texts, patterns)
+        for t, p, r in zip(texts, patterns, results):
+            oat, oap, ost, osp, oscore = bindings.oracle_align(
+                1 if local else 0, t.astype(np.int8), p.astype(np.int8),
+                sm, 23, gap,
+            )
+            assert r.score == oscore
+            np.testing.assert_array_equal(r.aligned_text, oat)
+            np.testing.assert_array_equal(r.aligned_pattern, oap)
+            assert (
+                r.start_in_aligned_text, r.start_in_aligned_pattern
+            ) == (ost, osp)
+
+
+def test_batch_align_sw_no_match():
+    # All-mismatch local pairs: score 0, empty alignment, (-1, -1).
+    sm = np.full((4, 4), -4, dtype=np.int32)
+    texts = [np.zeros(20, np.int32), np.zeros(7, np.int32)]
+    patterns = [np.ones(9, np.int32), np.ones(5, np.int32)]
+    aligner = BatchAligner(sm, 4, 5, local=True)
+    results = aligner.align(texts, patterns)
+    for t, p, r in zip(texts, patterns, results):
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            1, t.astype(np.int8), p.astype(np.int8), sm, 4, 5
+        )
+        assert r.score == oscore == 0
+        assert r.aligned_text.shape[0] == 0
+        assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
+            ost, osp,
+        )
+
+
+def test_batch_align_xla_fallback(monkeypatch):
+    # Engine forced off Pallas: align() falls back to the oracle per pair.
+    monkeypatch.setenv("SEQALIGN_ENGINE", "xla")
+    rng = np.random.default_rng(23)
+    sm = _dna_sm()
+    texts, patterns = _random_pairs(rng, 3)
+    results = BatchAligner(sm, 4, 5).align(texts, patterns)
+    for t, p, r in zip(texts, patterns, results):
+        oat, oap, _, _, oscore = bindings.oracle_align(
+            0, t.astype(np.int8), p.astype(np.int8), sm, 4, 5
+        )
+        assert r.score == oscore
+        np.testing.assert_array_equal(r.aligned_text, oat)

@@ -144,6 +144,40 @@ def test_device_walk_matches_native(local):
         assert (int(i_d), int(j_d), bool(done_d)) == (i_n, j_n, done_n)
 
 
+@pytest.mark.parametrize("local", [False, True])
+def test_device_walk_skewed_matches_native(local):
+    # Same parity check for the wavefront kernel's skewed word format
+    # (the checkpointed engine's phase-2 re-fill output).
+    from seqalign_tpu.native import bindings as nb
+    from seqalign_tpu.ops.traceback import (
+        device_walk_skewed_window,
+        pack_words_skewed,
+    )
+
+    rng = np.random.default_rng(15)
+    rps, slots = 2, 128
+    rows, cols = rps * slots, 300
+    hi = 4 if local else 3
+    dirs_bytes = rng.integers(0, hi, (rows + 1, cols + 1)).astype(np.uint8)
+    words = pack_words_skewed(dirs_bytes, rps, slots)
+    row_lo, col_lo = 64, 512
+    for trial in range(6):
+        i = int(rng.integers(row_lo + 1, row_lo + rows + 1))
+        j = int(rng.integers(col_lo + 1, col_lo + cols + 1))
+        mv_n, i_n, j_n, done_n = nb.walk_skewed_window(
+            words, rps, slots, row_lo, col_lo, i, j, local
+        )
+        out, k, i_d, j_d, done_d = device_walk_skewed_window(
+            np.asarray(words), rps, row_lo, col_lo, i, j, local,
+            rows + cols + 1,
+        )
+        k = int(k)
+        np.testing.assert_array_equal(
+            np.asarray(out)[:k].astype(np.uint8), mv_n
+        )
+        assert (int(i_d), int(j_d), bool(done_d)) == (i_n, j_n, done_n)
+
+
 def test_checkpointed_sw_no_match():
     # All-mismatch local alignment: best score 0, empty alignment, the
     # reference's (-1, -1) start sentinel.
