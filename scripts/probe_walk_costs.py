@@ -27,30 +27,31 @@ def probe_pallas_chase():
 
     from seqalign_tpu.bench.timing import device_seconds_per_call
 
-    ROWS, SUB, LANE = 512, 8, 128  # 2 MiB table in VMEM
-    STEPS = 4096
+    ROWS, LANE = 4096, 128  # 2 MiB table in VMEM
+    STEPS = 262144  # big enough that ~10 ns/step clears the noise floor
 
     def kernel(seed_ref, tab_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
         def body(k, carry):
-            acc, r0, r1, r2 = carry
-            v = tab_ref[r0, r1, r2]
+            acc, r0, r2 = carry
+            # Mosaic has no dynamic-lane scalar load: load the (1, 128)
+            # row and extract the lane with a masked reduce.
+            row = tab_ref[pl.ds(r0, 1), :]
+            v = jnp.sum(jnp.where(lane == r2, row, 0))
             acc = acc + v
             r0 = (v + k) & (ROWS - 1)
-            r1 = (v >> 3) & (SUB - 1)
             r2 = (v >> 6) & (LANE - 1)
-            return acc, r0, r1, r2
+            return acc, r0, r2
 
-        acc, _, _, _ = jax.lax.fori_loop(
+        acc, _, _ = jax.lax.fori_loop(
             0, STEPS, body,
-            (seed_ref[0, 0], seed_ref[0, 0] & (ROWS - 1),
-             jnp.int32(0), jnp.int32(0)),
+            (seed_ref[0, 0], seed_ref[0, 0] & (ROWS - 1), jnp.int32(0)),
         )
         out_ref[0, 0] = acc
 
     rng = np.random.default_rng(0)
-    tab = jnp.asarray(
-        rng.integers(0, 1 << 20, (ROWS, SUB, LANE)), jnp.int32
-    )
+    tab = jnp.asarray(rng.integers(0, 1 << 20, (ROWS, LANE)), jnp.int32)
 
     @jax.jit
     def call(perturb):
@@ -108,7 +109,7 @@ def probe_batch_walk():
 
     from seqalign_tpu.bench.timing import device_seconds_per_call
 
-    B, W, P = 4096, 32, 512  # 4096 pairs of 512^2 packed words (256 MiB)
+    B, W, P = 1024, 32, 512  # 1024 pairs of 512^2 packed words (64 MiB)
     STEPS = 1024
     rng = np.random.default_rng(0)
     words = jnp.asarray(rng.integers(0, 1 << 30, (B, W, P)), jnp.int32)
@@ -159,4 +160,8 @@ PROBES = {
 if __name__ == "__main__":
     which = sys.argv[1:] or list(PROBES)
     for name in which:
-        PROBES[name]()
+        try:
+            PROBES[name]()
+        except Exception as e:  # keep probing the rest
+            print(f"{name}: FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)

@@ -82,11 +82,18 @@ def align_cpu(request: Request, response: Response,
 
 def align_tpu(request: Request, response: Response,
               err: TextIO = sys.stderr) -> int:
-    """Accelerator engine: device fill (row-scan), host traceback."""
+    """Accelerator engine: device fill + device/host traceback.
+
+    Affine (Gotoh) requests (--gap-extend, an extension) route through
+    the checkpointed wavefront engine, byte-identical to the native
+    sa_align_affine oracle; affine semi-global is not defined.
+    """
     from .models import aligner_for
 
-    if request.gap_extend is not None:
-        err.write(constants.AFFINE_DEVICE_ERROR)
+    if request.gap_extend is not None and (
+        request.alignment_type is AlignmentType.SEMI_GLOBAL
+    ):
+        err.write(constants.AFFINE_SEMI_ERROR)
         return 1
     try:
         model = aligner_for(request.alignment_type)
@@ -96,6 +103,7 @@ def align_tpu(request: Request, response: Response,
             request.score_matrix,
             request.alphabet_size,
             request.gap_penalty,
+            gap_extend=request.gap_extend,
         )
     except MemoryError:
         err.write(constants.MEM_ERROR)

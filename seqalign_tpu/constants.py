@@ -76,12 +76,7 @@ Usage: ./alignSequence [-d|-p] [-c|-g] [--global|--local] [-s <file>] [--gap-pen
 """
 SEQ_NOT_READ_ERROR = "error: text sequence or pattern sequence not read\n"
 MEM_ERROR = "error: sequence is too long, not enough memory\n"
-# Extension-only errors (no reference analog).
-AFFINE_DEVICE_ERROR = (
-    "error: affine gap alignment (--gap-extend) runs on the CPU engine"
-    " only; use -c (batched affine scoring is available via the Python"
-    " API)\n"
-)
+# Extension-only error (no reference analog).
 AFFINE_SEMI_ERROR = (
     "error: affine semi-global alignment is not supported\n"
 )

@@ -108,10 +108,11 @@ class PairAligner:
         )
 
     def _align_checkpoint(self, text, pattern, score_matrix, alphabet_size,
-                          gap_penalty):
+                          gap_penalty, gap_extend=None):
         """O(boundary)-memory engine for very long pairs: score-only fill
         with tile checkpoints, then per-tile direction re-fill along the
-        optimal path only (ops/checkpoint.py)."""
+        optimal path only (ops/checkpoint.py).  Also the accelerator's
+        affine (Gotoh) path when gap_extend is set."""
         from ..ops import checkpoint
 
         sm = self._score_matrix(score_matrix, alphabet_size)
@@ -120,6 +121,7 @@ class PairAligner:
                 np.asarray(text, dtype=np.int32),
                 np.asarray(pattern, dtype=np.int32),
                 sm, alphabet_size, gap_penalty, local=self.local,
+                gap_extend=gap_extend,
             )
         )
         return AlignmentResult(
@@ -182,7 +184,22 @@ class PairAligner:
 
     # -- public API ----------------------------------------------------------
 
-    def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
+    def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty,
+              gap_extend=None):
+        if gap_extend is not None:
+            # Affine (Gotoh, extension): the checkpointed wavefront
+            # engine is the accelerator path at every size; the portable
+            # XLA engine has no affine traceback, so non-Pallas backends
+            # use the native oracle.
+            if config.use_pallas():
+                return self._align_checkpoint(
+                    text, pattern, score_matrix, alphabet_size,
+                    gap_penalty, gap_extend=gap_extend,
+                )
+            return self._align_oracle_affine(
+                text, pattern, score_matrix, alphabet_size, gap_penalty,
+                gap_extend,
+            )
         if config.use_pallas():
             engine = config.pair_engine()
             if engine == "strip":
@@ -198,6 +215,23 @@ class PairAligner:
             )
         return self._align_xla(
             text, pattern, score_matrix, alphabet_size, gap_penalty
+        )
+
+    def _align_oracle_affine(self, text, pattern, score_matrix,
+                             alphabet_size, gap_penalty, gap_extend):
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        at, ap, st, sp, score = bindings.oracle_align_affine(
+            1 if self.local else 0,
+            np.asarray(text, dtype=np.int8),
+            np.asarray(pattern, dtype=np.int8),
+            sm, alphabet_size, gap_penalty, gap_extend,
+        )
+        return AlignmentResult(
+            aligned_text=at,
+            aligned_pattern=ap,
+            start_in_aligned_text=st,
+            start_in_aligned_pattern=sp,
+            score=score,
         )
 
     def _align_pallas(self, text, pattern, score_matrix, alphabet_size,

@@ -17,7 +17,11 @@ from .base import AlignmentResult, PairAligner
 class SemiGlobal(PairAligner):
     local = False
 
-    def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty):
+    def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty,
+              gap_extend=None):
+        # Affine semi-global is undefined; api.align_tpu rejects it
+        # before dispatch, so gap_extend is always None here.
+        assert gap_extend is None
         if config.use_pallas():
             return self._align_checkpoint_semi(
                 text, pattern, score_matrix, alphabet_size, gap_penalty

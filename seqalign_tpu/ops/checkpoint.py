@@ -41,7 +41,11 @@ import numpy as np
 from .. import config
 from ..native import bindings
 from . import pallas_fill, wavefront
-from .traceback import device_walk_skewed_window
+from .traceback import (
+    device_walk_affine_skewed_window,
+    device_walk_skewed_window,
+    emit_moves_affine,
+)
 
 _INT = jnp.int32
 _LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
@@ -63,6 +67,10 @@ class CheckpointedFill:
     colvals[b]: (num_ckpts, rows) device — S[i, (q+1)*ckpt_cols] for the
       rows of wavefront strip b (row i = b*rows + ri + 1 at index ri).
     boundaries[b]: (steps_pad,) device — S[(b+1)*rows, j] at index j-1.
+    Affine mode (gap_extend set) additionally keeps the same layouts for
+    the E gap state's columns (colvals_e) and the F gap state's bottom
+    rows (boundaries_f) — the extra boundary state a Gotoh tile re-fill
+    needs.
     """
 
     score: int
@@ -78,15 +86,24 @@ class CheckpointedFill:
     gap: int
     local: bool
     semi: bool
+    gap_extend: int | None = None
+    colvals_e: list | None = None
+    boundaries_f: list | None = None
 
 
 def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
                       local: bool = False, semi: bool = False,
+                      gap_extend: int | None = None,
                       ckpt_cols: int = DEFAULT_CKPT_COLS,
                       rps: int = DEFAULT_CKPT_RPS,
                       slots: int = DEFAULT_CKPT_SLOTS) -> CheckpointedFill:
     """Score-only wavefront fill keeping tile boundary checkpoints on
-    device (the strip loop mirrors wavefront.wavefront_fill)."""
+    device (the strip loop mirrors wavefront.wavefront_fill).
+
+    gap_extend: affine (Gotoh) mode — ``gap`` is then the open cost and
+    a run of length L costs gap + (L-1)*gap_extend, matching the native
+    oracle's sa_align_affine (extension; the reference is linear-only).
+    """
     text_np = np.asarray(text, dtype=np.int32)
     pattern_np = np.asarray(pattern, dtype=np.int32)
     sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
@@ -112,43 +129,42 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     pat_pad = np.zeros(num_strips * rows, dtype=np.int32)
     pat_pad[:m] = pattern_np
 
+    affine = gap_extend is not None
+    ext = int(gap_extend) if affine else 0
     if local or semi:
         # Semi-global: H[0, j] = 0 like local; interior recurrence and
         # the H[i, 0] column stay NW-style.
         bottom = jnp.zeros((num_blocks, wavefront.STEPS), _INT)
+    elif affine:
+        # Affine row boundary: H[0, j] = -(open + (j-1)*extend).
+        bottom = jnp.asarray(
+            (-gap - ext * np.arange(steps_pad, dtype=np.int64))
+            .astype(np.int32)
+            .reshape(num_blocks, wavefront.STEPS)
+        )
     else:
         bottom = jnp.asarray(
             (-gap * (np.arange(steps_pad, dtype=np.int64) + 1))
             .astype(np.int32)
             .reshape(num_blocks, wavefront.STEPS)
         )
+    fbottom = (
+        jnp.full((num_blocks, wavefront.STEPS), wavefront.NEG_HALF, _INT)
+        if affine
+        else None
+    )
 
-    colvals, boundaries, rowmaxs, argjs, snaps = [], [], [], [], []
-    for b in range(num_strips):
-        i0 = b * rows
-        chunk = pat_pad[i0 : i0 + rows].reshape(slots, rps)
-        pat_slots = jnp.asarray(
-            np.ascontiguousarray(chunk.T).reshape(rps, slots // 128, 128)
-        )
-        _, bot_out, rowmax, argj, snap, ckpts = wavefront.wavefront_strip(
-            ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
-            k_alpha=k_alpha, local=local, with_dirs=False, rps=rps,
-            ckpt_every=ckpt_cols, slots=slots, semi=semi,
-            interpret=interpret,
-        )
+    def ckpts_to_cols(ckpts):
         # (num_ckpts*rps, slots/128, 128) -> (num_ckpts, rows) with row
         # index ri = rps*slot + r.
         num_ckpts = ckpts.shape[0] // rps
-        colvals.append(
+        return (
             ckpts.reshape(num_ckpts, rps, slots)
             .transpose(0, 2, 1)
             .reshape(num_ckpts, rows)
         )
-        # Keep device handles; one batched fetch after the strip loop
-        # avoids a host sync (tunnel round trip) per strip.
-        rowmaxs.append(rowmax)
-        argjs.append(argj)
-        snaps.append(snap)
+
+    def to_boundary(bot_out):
         # Bottom boundary row: value S[i0+rows, j] at flat index j-1,
         # padded so phase-2 tile slices up to ceil(n/ckpt_cols)*ckpt_cols
         # stay in bounds (pad values feed only j > n cells, never read).
@@ -157,17 +173,58 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
             [flat[slots - 1 :], jnp.zeros((slots - 1,), _INT)]
         )
         pad = -(-steps_pad // ckpt_cols) * ckpt_cols - steps_pad
-        boundaries.append(
+        padded = (
             jnp.concatenate([shifted, jnp.zeros((pad,), _INT)])
             if pad
             else shifted
         )
+        return shifted, padded
+
+    colvals, boundaries, rowmaxs, argjs, snaps = [], [], [], [], []
+    colvals_e, boundaries_f = [], []
+    for b in range(num_strips):
+        i0 = b * rows
+        chunk = pat_pad[i0 : i0 + rows].reshape(slots, rps)
+        pat_slots = jnp.asarray(
+            np.ascontiguousarray(chunk.T).reshape(rps, slots // 128, 128)
+        )
+        outs = wavefront.wavefront_strip(
+            ts_dev, bottom, pat_slots, sm, gap, n, m, i0,
+            k_alpha=k_alpha, local=local, with_dirs=False, rps=rps,
+            ckpt_every=ckpt_cols, slots=slots, semi=semi,
+            affine=affine, ext=ext, fbot_in=fbottom,
+            interpret=interpret,
+        )
+        _, bot_out, rowmax, argj, snap, ckpts = outs[:6]
+        colvals.append(ckpts_to_cols(ckpts))
+        # Keep device handles; one batched fetch after the strip loop
+        # avoids a host sync (tunnel round trip) per strip.
+        rowmaxs.append(rowmax)
+        argjs.append(argj)
+        snaps.append(snap)
+        shifted, padded = to_boundary(bot_out)
+        boundaries.append(padded)
+        if affine:
+            _, fbot_out, ckpts_e = outs[6:]
+            colvals_e.append(ckpts_to_cols(ckpts_e))
+            fshifted, fpadded = to_boundary(fbot_out)
+            boundaries_f.append(fpadded)
+            if b + 1 < num_strips:
+                fbottom = fshifted.reshape(num_blocks, wavefront.STEPS)
         if b + 1 < num_strips:
             bottom = shifted.reshape(num_blocks, wavefront.STEPS)
 
     rowmaxs, argjs, snaps = jax.device_get((rowmaxs, argjs, snaps))
     rowmaxs = [np.asarray(x).reshape(rps, -1) for x in rowmaxs]
     argjs = [np.asarray(x).reshape(rps, -1) for x in argjs]
+    extra = (
+        dict(
+            gap_extend=ext, colvals_e=colvals_e,
+            boundaries_f=boundaries_f,
+        )
+        if affine
+        else {}
+    )
     if local:
         score, bi, bj = wavefront.merge_local_best(
             rowmaxs, argjs, rows, rps, m, slots=slots
@@ -188,20 +245,23 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
         score=score, best_i=bi, best_j=bj,
         colvals=colvals, boundaries=boundaries,
         n=n, m=m, rows=rows, rps=rps, ckpt_cols=ckpt_cols,
-        gap=gap, local=local, semi=semi,
+        gap=gap, local=local, semi=semi, **extra,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_alpha", "local", "semi", "rps", "slots", "ckpt_cols",
+        "k_alpha", "local", "semi", "affine", "rps", "slots", "ckpt_cols",
         "tile_blocks", "max_moves", "interpret",
     ),
 )
-def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all, sm,
-                      gap, b, c, i, j, k_alpha: int, local: bool,
-                      semi: bool, rps: int, slots: int, ckpt_cols: int,
+def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all,
+                      colvalse_all, boundsf_all, sm,
+                      gap, ext, b, c, i, j, wstate, k_alpha: int,
+                      local: bool,
+                      semi: bool, affine: bool, rps: int, slots: int,
+                      ckpt_cols: int,
                       tile_blocks: int, max_moves: int,
                       interpret: bool = False):
     """One dispatch: gather tile (c, b)'s boundary inputs from the saved
@@ -224,11 +284,14 @@ def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all, sm,
     row_lo = b * rows
     col_lo = c * ckpt_cols
     gap = jnp.asarray(gap, _INT)
+    ext = jnp.asarray(ext, _INT)
 
     # Top boundary row S[row_lo, col_lo + t + 1] per sweep step t.
     tvec = jnp.arange(tile_steps, dtype=_INT)
     if local or semi:
         arith_bot = jnp.zeros((tile_steps,), _INT)
+    elif affine:
+        arith_bot = -(gap + ext * (col_lo + tvec))
     else:
         arith_bot = -(gap * (col_lo + tvec + 1))
     stored_bot = jax.lax.dynamic_slice(
@@ -238,15 +301,31 @@ def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all, sm,
 
     # Left boundary column S[row_lo + ri, col_lo], ri = 0..rows.
     rvec = jnp.arange(rows, dtype=_INT)
-    arith_col = (
-        jnp.zeros((rows,), _INT) if local else -(gap * (row_lo + rvec + 1))
-    )
+    if local:
+        arith_col = jnp.zeros((rows,), _INT)
+    elif affine:
+        arith_col = -(gap + ext * (row_lo + rvec))
+    else:
+        arith_col = -(gap * (row_lo + rvec + 1))
     stored_col = jax.lax.dynamic_slice(
         colvals_all, (b, jnp.maximum(c - 1, 0), 0), (1, 1, rows)
     ).reshape(rows)
     body = jnp.where(c == 0, arith_col, stored_col)
-    corner_c0 = jnp.asarray(0 if local else -1, _INT) * gap * row_lo
-    corner_b0 = jnp.asarray(0 if (local or semi) else -1, _INT) * gap * col_lo
+    if affine:
+        zero = jnp.asarray(0, _INT)
+        corner_c0 = jnp.where(
+            jnp.logical_or(local, row_lo == 0),
+            zero,
+            -(gap + ext * (row_lo - 1)),
+        )
+        corner_b0 = jnp.where(
+            local, zero, -(gap + ext * (col_lo - 1))
+        )
+    else:
+        corner_c0 = jnp.asarray(0 if local else -1, _INT) * gap * row_lo
+        corner_b0 = (
+            jnp.asarray(0 if (local or semi) else -1, _INT) * gap * col_lo
+        )
     stored_corner = jax.lax.dynamic_slice(
         bounds_all,
         (jnp.maximum(b - 1, 0), jnp.maximum(col_lo - 1, 0)),
@@ -259,6 +338,31 @@ def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all, sm,
         jnp.concatenate([corner.reshape(1), body]), rps, slots
     )
 
+    if affine:
+        # F top boundary row and E left boundary column (the Gotoh gap
+        # states' own checkpoints; arithmetic boundaries are -inf).
+        neg = jnp.full((tile_steps,), wavefront.NEG_HALF, _INT)
+        stored_fbot = jax.lax.dynamic_slice(
+            boundsf_all, (jnp.maximum(b - 1, 0), col_lo), (1, tile_steps)
+        )[0]
+        fbot = jnp.where(b == 0, neg, stored_fbot)
+        stored_ecol = jax.lax.dynamic_slice(
+            colvalse_all, (b, jnp.maximum(c - 1, 0), 0), (1, 1, rows)
+        ).reshape(rows)
+        ebody = jnp.where(
+            c == 0, jnp.full((rows,), wavefront.NEG_HALF, _INT),
+            stored_ecol,
+        )
+        left_e = wavefront.make_left_input(
+            jnp.concatenate(
+                [jnp.full((1,), wavefront.NEG_HALF, _INT), ebody]
+            ),
+            rps, slots,
+        )
+    else:
+        fbot = None
+        left_e = None
+
     ts = jax.lax.dynamic_slice(text_pad, (col_lo,), (tile_steps,))
     pat_slots = jax.lax.dynamic_slice(
         pats_all, (b, 0, 0, 0), (1, rps, slots // 128, 128)
@@ -266,13 +370,24 @@ def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all, sm,
     # n/m feed only the (ignored) best-cell trackers here; semi tiles
     # fill with the plain NW recurrence (the modes differ only in
     # boundaries and tracking).
-    dirs, _, _, _, _, _ = wavefront.wavefront_strip(
+    outs = wavefront.wavefront_strip(
         ts.reshape(tile_blocks, wavefront.STEPS),
         bot.reshape(tile_blocks, wavefront.STEPS),
         pat_slots, sm, gap, tile_steps, rows, row_lo,
         k_alpha=k_alpha, local=local, with_dirs=True, rps=rps,
-        slots=slots, left_in=left_in, interpret=interpret,
+        slots=slots, left_in=left_in,
+        affine=affine, ext=ext,
+        fbot_in=(
+            fbot.reshape(tile_blocks, wavefront.STEPS) if affine else None
+        ),
+        left_e=left_e, interpret=interpret,
     )
+    dirs = outs[0]
+    if affine:
+        return device_walk_affine_skewed_window(
+            dirs, outs[6], rps, row_lo, col_lo, i, j, wstate, local,
+            max_moves,
+        )
     return device_walk_skewed_window(
         dirs, rps, row_lo, col_lo, i, j, local, max_moves
     )
@@ -316,6 +431,20 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     )
     sm_dev = jnp.asarray(sm)
     interpret = config.pallas_interpret()
+    affine = ck.gap_extend is not None
+    if affine:
+        colvalse_all = jnp.stack(ck.colvals_e)
+        boundsf_all = jnp.stack(ck.boundaries_f)
+        if boundsf_all.shape[1] < l_pad:
+            boundsf_all = jnp.pad(
+                boundsf_all, ((0, 0), (0, l_pad - boundsf_all.shape[1]))
+            )
+        ext = ck.gap_extend
+    else:
+        # Unused dummies keeping the traced signature uniform.
+        colvalse_all = jnp.zeros((num_strips, 1, ck.rows), _INT)
+        boundsf_all = jnp.zeros((num_strips, l_pad), _INT)
+        ext = 0
 
     local = ck.local
     if local:
@@ -332,12 +461,15 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     max_moves = ck.rows + ck.ckpt_cols + 1
     moves_parts = []
     start_i, start_j = i, j
+    wstate = 0  # affine walk state (H/E-run/F-run), carried across tiles
 
     while not done:
         if not local and (i == 0 or j == 0):
             # Forced first-row/column moves (alignSequenceCPU.cpp:77-81;
-            # j == 0 forces TOP before i == 0 forces LEFT).  Semi-global
-            # stops at row 0 without emitting the free text end-gap.
+            # j == 0 forces TOP before i == 0 forces LEFT; the affine
+            # oracle resets any gap-run state at the edges the same way).
+            # Semi-global stops at row 0 without emitting the free text
+            # end-gap.
             if j == 0 and i > 0:
                 moves_parts.append(np.full(i, _TOP, np.uint8))
             elif i == 0 and j > 0 and not ck.semi:
@@ -345,13 +477,20 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             break
         c = (j - 1) // ck.ckpt_cols
         b = (i - 1) // ck.rows
-        out, k, i_d, j_d, done_d = _tile_refill_walk(
-            text_pad, pats_all, colvals_all, bounds, sm_dev, ck.gap,
-            b, c, i, j, k_alpha=k_alpha, local=local, semi=ck.semi,
+        res = _tile_refill_walk(
+            text_pad, pats_all, colvals_all, bounds,
+            colvalse_all, boundsf_all, sm_dev, ck.gap, ext,
+            b, c, i, j, wstate, k_alpha=k_alpha, local=local,
+            semi=ck.semi, affine=affine,
             rps=rps, slots=slots, ckpt_cols=ck.ckpt_cols,
             tile_blocks=tile_blocks, max_moves=max_moves,
             interpret=interpret,
         )
+        if affine:
+            out, k, i_d, j_d, st_d, done_d = res
+            wstate = int(st_d)
+        else:
+            out, k, i_d, j_d, done_d = res
         k = int(k)
         mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
         i, j, tile_done = int(i_d), int(j_d), bool(done_d)
@@ -368,9 +507,16 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
         if moves_parts
         else np.zeros(0, np.uint8)
     )
-    at, ap, st, sp = bindings.emit_moves(
-        moves, start_i, start_j, local, text_np, pattern_np, k_alpha
-    )
+    if affine:
+        # Affine emission has no cursor quirks (sa_align_affine): chars
+        # come straight off the walk cursor; offsets = final (j, i).
+        at, ap, st, sp = emit_moves_affine(
+            moves, start_i, start_j, text_np, pattern_np, k_alpha
+        )
+    else:
+        at, ap, st, sp = bindings.emit_moves(
+            moves, start_i, start_j, local, text_np, pattern_np, k_alpha
+        )
     if ck.semi:
         # Fit-alignment offsets: where the pattern lands in the text.
         st, sp = j, 0
@@ -379,17 +525,20 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
 
 def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
                        local: bool = False, semi: bool = False,
+                       gap_extend: int | None = None,
                        ckpt_cols: int = DEFAULT_CKPT_COLS,
                        rps: int = DEFAULT_CKPT_RPS,
                        slots: int = DEFAULT_CKPT_SLOTS):
     """Full alignment of an arbitrarily long pair in O(boundary) memory.
 
     Returns (score, best_i, best_j, aligned_text_idx, aligned_pattern_idx,
-    start_text, start_pattern).
+    start_text, start_pattern).  gap_extend switches to affine (Gotoh)
+    gap costs, byte-identical to the native sa_align_affine.
     """
     ck = checkpointed_fill(
         text, pattern, score_matrix, k_alpha, gap,
-        local=local, semi=semi, ckpt_cols=ckpt_cols, rps=rps, slots=slots,
+        local=local, semi=semi, gap_extend=gap_extend,
+        ckpt_cols=ckpt_cols, rps=rps, slots=slots,
     )
     at, ap, st, sp = checkpointed_traceback(
         ck, text, pattern, score_matrix, k_alpha

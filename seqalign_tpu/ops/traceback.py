@@ -277,6 +277,131 @@ def device_walk_skewed_window(words, rps: int, row_lo, col_lo, i0, j0,
     return out, k, i, j, done
 
 
+@functools.partial(
+    jax.jit, static_argnames=("rps", "local", "max_moves")
+)
+def device_walk_affine_skewed_window(words, words2, rps: int, row_lo,
+                                     col_lo, i0, j0, state0, local: bool,
+                                     max_moves: int):
+    """Affine (Gotoh) window walk over skewed direction words.
+
+    ``words`` holds the 2-bit H-state directions (same encoding as the
+    linear kernel), ``words2`` the run-continuation bits per cell
+    (bit 0: E-run continues, bit 1: F-run continues) — together they
+    replay oracle.cpp sa_align_affine's three-state walk exactly: in
+    state H a LEFT/TOP move enters the E/F run; inside a run the move is
+    forced and the cell's continuation bit decides whether the run
+    extends (ties close the run, per the oracle's documented policy).
+
+    ``state0``: 0 = H, 1 = E-run, 2 = F-run — carried across tiles.
+    Returns (moves, count, i, j, state, done).
+    """
+    out0 = jnp.zeros((max_moves,), jnp.int32)
+    row_lo = jnp.asarray(row_lo, _INT)
+    col_lo = jnp.asarray(col_lo, _INT)
+    unroll = 8
+
+    def inside(i, j, done):
+        return jnp.logical_and(
+            jnp.logical_not(done),
+            jnp.logical_and(i > row_lo, j > col_lo),
+        )
+
+    def cond(state):
+        i, j, st, k, done, out = state
+        return inside(i, j, done)
+
+    def body(carry):
+        i, j, st, k, done, out = carry
+        for _ in range(unroll):
+            live = inside(i, j, done)
+            il = jnp.maximum(i - row_lo, 1)
+            jl = jnp.maximum(j - col_lo, 1)
+            d_read = _read_dir_skewed(words, rps, il, jl)
+            bits = _read_dir_skewed(words2, rps, il, jl)
+            d = jnp.where(
+                st == 1, _LEFT, jnp.where(st == 2, _TOP, d_read)
+            )
+            stop = (
+                jnp.logical_and(st == 0, d == _STOP)
+                if local
+                else jnp.asarray(False)
+            )
+            emit = jnp.logical_and(live, jnp.logical_not(stop))
+            out = jnp.where(emit, out.at[k].set(d), out)
+            k = k + jnp.where(emit, 1, 0)
+            take_t = jnp.logical_and(
+                emit, jnp.logical_or(d == _DIAG, d == _LEFT)
+            )
+            take_p = jnp.logical_and(
+                emit, jnp.logical_or(d == _DIAG, d == _TOP)
+            )
+            eb = (bits & 1) == 1
+            fb = (bits & 2) == 2
+            new_st = jnp.where(
+                jnp.logical_and(d == _LEFT, eb),
+                1,
+                jnp.where(jnp.logical_and(d == _TOP, fb), 2, 0),
+            )
+            st = jnp.where(emit, new_st, st)
+            i = i - take_p.astype(_INT)
+            j = j - take_t.astype(_INT)
+            if local:
+                done = jnp.logical_or(
+                    done,
+                    jnp.logical_and(
+                        live,
+                        jnp.logical_or(
+                            stop, jnp.logical_or(i == 0, j == 0)
+                        ),
+                    ),
+                )
+        return (i, j, st, k, done, out)
+
+    i, j, st, k, done, out = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(i0, _INT), jnp.asarray(j0, _INT),
+         jnp.asarray(state0, _INT), jnp.asarray(0, _INT),
+         jnp.asarray(False), out0),
+    )
+    return out, k, i, j, st, done
+
+
+def emit_moves_affine(moves: np.ndarray, start_i: int, start_j: int,
+                      text: np.ndarray, pattern: np.ndarray,
+                      gap_index: int):
+    """Replay an affine move list (walk order) into aligned index arrays.
+
+    The affine oracle emits straight from the walk cursor with no clamp
+    quirks (oracle.cpp sa_align_affine): at each move, the text char is
+    text[j-1] unless the move is TOP, the pattern char pattern[i-1]
+    unless LEFT; start offsets are the final (j, i) floored at 0.
+    Returns (aligned_text_idx, aligned_pattern_idx, start_text,
+    start_pattern).
+    """
+    moves = np.asarray(moves, dtype=np.int64)
+    text = np.asarray(text)
+    pattern = np.asarray(pattern)
+    if moves.size == 0:
+        return (
+            np.zeros(0, np.uint8), np.zeros(0, np.uint8),
+            max(start_j, 0), max(start_i, 0),
+        )
+    take_t = moves != _TOP
+    take_p = moves != _LEFT
+    j_pos = start_j - np.concatenate([[0], np.cumsum(take_t[:-1])])
+    i_pos = start_i - np.concatenate([[0], np.cumsum(take_p[:-1])])
+    at = np.where(
+        take_t, text[np.maximum(j_pos - 1, 0)], gap_index
+    ).astype(np.uint8)
+    ap = np.where(
+        take_p, pattern[np.maximum(i_pos - 1, 0)], gap_index
+    ).astype(np.uint8)
+    final_j = int(start_j - take_t.sum())
+    final_i = int(start_i - take_p.sum())
+    return at[::-1].copy(), ap[::-1].copy(), max(final_j, 0), max(final_i, 0)
+
+
 def pack_words_skewed(dirs_bytes: np.ndarray, rps: int,
                       slots: int) -> np.ndarray:
     """Pack a (rows+1, cols+1) byte direction matrix (incl. borders) into

@@ -60,19 +60,30 @@ def strip_rows(r: int = ROWS_PER_SLOT) -> int:
     return r * SLOTS
 
 
+NEG_HALF = NEG_INF // 2  # affine E/F "-inf": survives repeated -extend
+
+
 def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                       ckpt_every: int, slots: int, semi: bool,
-                      has_left: bool,
+                      has_left: bool, affine: bool,
                       scal_ref, sm_ref, text_ref, bot_in_ref, pat_ref,
                       *refs):
-    if has_left:
-        left_ref = refs[0]
-        refs = refs[1:]
-    else:
-        left_ref = None
-    (dirs_ref, bot_out_ref, rowmax_ref, argj_ref, snap_ref, ckpt_ref,
-     cur_scr, topsh_scr, w_scr, acc_scr, aj_scr, snap_scr,
-     coll_scr, coef_scr, ckpt_scr) = refs
+    refs = list(refs)
+    fbot_in_ref = refs.pop(0) if affine else None
+    left_ref = refs.pop(0) if has_left else None
+    left_e_ref = refs.pop(0) if (affine and has_left) else None
+    dirs_ref = refs.pop(0)
+    dirs2_ref = refs.pop(0) if affine else None
+    bot_out_ref = refs.pop(0)
+    fbot_out_ref = refs.pop(0) if affine else None
+    (rowmax_ref, argj_ref, snap_ref, ckpt_ref) = refs[:4]
+    refs = refs[4:]
+    ckpte_ref = refs.pop(0) if affine else None
+    (cur_scr, topsh_scr, w_scr, acc_scr, aj_scr, snap_scr,
+     coll_scr, coef_scr, ckpt_scr) = refs[:9]
+    refs = refs[9:]
+    if affine:
+        evec_scr, flast_scr, fcoll_scr, ckpte_scr = refs
     g_blk = pl.program_id(0)
     num_blk = pl.num_programs(0)
     n_planes = -(-k_alpha // 4)
@@ -80,6 +91,7 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     n = scal_ref[0, 1]
     m = scal_ref[0, 2]
     i0 = scal_ref[0, 3]
+    ext = scal_ref[0, 4]  # affine gap-extend (gap is then the open cost)
 
     srows = slots // 128  # sublane-rows per vector op (slots/128 vregs)
     lane = jax.lax.broadcasted_iota(_INT, (srows, 128), 1)
@@ -110,6 +122,20 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             for r in range(rps):
                 cur_scr[r] = left_ref[r + 1]
             topsh_scr[:, :] = left_ref[0]
+        elif affine:
+            # Affine column boundary: H[i, 0] = -(open + (i-1)*extend)
+            # for i >= 1, H[0, 0] = 0 (oracle.cpp sa_align_affine).
+            for r in range(rps):
+                cur_scr[r] = (
+                    jnp.zeros((srows, 128), _INT)
+                    if local
+                    else -(gap + (ibase + r) * ext)
+                )
+            topsh_scr[:, :] = (
+                jnp.zeros((srows, 128), _INT)
+                if local
+                else jnp.where(ibase == 0, 0, -(gap + (ibase - 1) * ext))
+            )
         else:
             for r in range(rps):
                 cur_scr[r] = (
@@ -124,6 +150,17 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 last_boundary if local
                 else jnp.where(pos00, -(gap * i0), last_boundary)
             )
+        if affine:
+            if has_left:
+                for r in range(rps):
+                    evec_scr[r] = left_e_ref[r + 1]
+            else:
+                for r in range(rps):
+                    evec_scr[r] = jnp.full((srows, 128), NEG_HALF, _INT)
+            flast_scr[:, :] = jnp.full((srows, 128), NEG_HALF, _INT)
+            if ckpt_every:
+                for r in range(rps):
+                    ckpte_scr[r] = jnp.zeros((srows, 128), _INT)
         w_scr[:, :] = jnp.zeros((srows, 128), _INT)
         if local or semi:
             for r in range(rps):
@@ -155,10 +192,20 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     aj0 = [aj_scr[r] for r in range(rps)] if track else []
     snap0 = snap_scr[:, :]
     cks0 = [ckpt_scr[r] for r in range(rps)] if ckpt_every else []
+    evec0 = [evec_scr[r] for r in range(rps)] if affine else []
+    flast0 = flast_scr[:, :] if affine else snap_scr[:, :]
+    fcoll0 = fcoll_scr[:, :] if affine else snap_scr[:, :]
+    ckse0 = (
+        [ckpte_scr[r] for r in range(rps)]
+        if (affine and ckpt_every)
+        else []
+    )
 
     def word_fn(k16, carry):
-        curs, topsh, w, coll, accs, ajs, snap, cks = carry
+        (curs, topsh, w, coll, accs, ajs, snap, cks,
+         evecs, flast, fcoll, ckse) = carry
         words = [jnp.zeros((srows, 128), _INT)] * rps
+        words2 = [jnp.zeros((srows, 128), _INT)] * rps
         for u in range(unroll):
             k = k16 * unroll + u
             t = g_blk * STEPS + k
@@ -175,6 +222,11 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             # Neighbor's last row at this column / previous column.
             nb_top = shift_slots(curs[rps - 1], bot_in_ref[0, 0, k])
             nb_diag = topsh
+            if affine:
+                # Neighbor's last-row F at this column (F is the
+                # vertical gap state; its top boundary streams in like
+                # the H bottom row).
+                nb_f = shift_slots(flast, fbot_in_ref[0, 0, k])
 
             # Packed-lookup coordinates of text letter w (shared by all
             # in-slot rows): plane index and byte shift.
@@ -184,6 +236,8 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             new_curs = []
             top = nb_top
             diag_src = nb_diag
+            if affine:
+                f_above = nb_f
             for r in range(rps):
                 plane = coefs[r][n_planes - 1]
                 for q in range(n_planes - 1):
@@ -191,15 +245,30 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 sub_scores = ((plane >> wsh) & 0xFF) - SUB_BIAS
                 diag = diag_src + sub_scores
                 left = curs[r]
-                gap_best = jnp.maximum(top, left) - gap
+                if affine:
+                    # Gotoh: E (LEFT run) carries along the row, F (TOP
+                    # run) down the column; gap = open cost here.
+                    e_ext = evecs[r] - ext
+                    e_open = left - gap
+                    e_new = jnp.maximum(e_ext, e_open)
+                    f_ext = f_above - ext
+                    f_open = top - gap
+                    f_new = jnp.maximum(f_ext, f_open)
+                    gap_best = jnp.maximum(e_new, f_new)
+                else:
+                    gap_best = jnp.maximum(top, left) - gap
                 best = jnp.maximum(diag, gap_best)
                 newval = jnp.maximum(best, 0) if local else best
                 cur_next = jnp.where(started, newval, curs[r])
 
                 if with_dirs:
                     is_diag = diag > gap_best
+                    if affine:
+                        gl, gt = e_new, f_new
+                    else:
+                        gl, gt = left, top
                     is_left = jnp.logical_and(
-                        jnp.logical_not(is_diag), left >= top
+                        jnp.logical_not(is_diag), gl >= gt
                     )
                     d = jnp.where(
                         is_diag, 1, jnp.where(is_left, 0, 2)
@@ -207,9 +276,26 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                     if local:
                         d = jnp.where(best > 0, d, 3)
                     words[r] = d if u == 0 else words[r] | (d << (2 * u))
+                    if affine:
+                        # Run-continuation bits: the oracle's traceback
+                        # stays in a gap run iff extending strictly
+                        # beats (re)opening from H (ties close the run,
+                        # oracle.cpp sa_align_affine).
+                        eb = (e_ext > e_open).astype(_INT)
+                        fb = (f_ext > f_open).astype(_INT)
+                        d2 = eb | (fb << 1)
+                        words2[r] = (
+                            d2 if u == 0 else words2[r] | (d2 << (2 * u))
+                        )
+
+                if affine:
+                    evecs[r] = jnp.where(started, e_new, evecs[r])
+                    f_next = jnp.where(started, f_new, f_above)
 
                 if ckpt_every:
                     cks[r] = jnp.where(cmask, cur_next, cks[r])
+                    if affine:
+                        ckse[r] = jnp.where(cmask, evecs[r], ckse[r])
 
                 if track:
                     # local: running max over all live cells; semi: over
@@ -233,6 +319,8 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 # this row's previous-step value.
                 diag_src = curs[r]
                 top = cur_next
+                if affine:
+                    f_above = f_next
                 new_curs.append(cur_next)
 
             curs = new_curs
@@ -242,14 +330,23 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
             coll = jnp.where(
                 pos_last, curs[rps - 1], pltpu.roll(coll, 127, axis=1)
             )
+            if affine:
+                flast = f_above  # last row's F after this step
+                fcoll = jnp.where(
+                    pos_last, flast, pltpu.roll(fcoll, 127, axis=1)
+                )
 
         if with_dirs:
             for r in range(rps):
                 dirs_ref[k16 * rps + r] = words[r]
+                if affine:
+                    dirs2_ref[k16 * rps + r] = words2[r]
 
         @pl.when(k16 % (128 // unroll) == (128 // unroll) - 1)
         def _flush_bottom():
             bot_out_ref[(k16 * unroll) // 128] = coll
+            if affine:
+                fbot_out_ref[(k16 * unroll) // 128] = fcoll
 
         if ckpt_every:
             # Column q*ckpt_every is fully captured once the last slot
@@ -269,14 +366,18 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 idx = rel // ckpt_every - 1
                 for r in range(rps):
                     ckpt_ref[idx * rps + r] = cks[r]
+                    if affine:
+                        ckpte_ref[idx * rps + r] = ckse[r]
 
-        return curs, topsh, w, coll, accs, ajs, snap, cks
+        return (curs, topsh, w, coll, accs, ajs, snap, cks,
+                evecs, flast, fcoll, ckse)
 
     curs0 = [cur_scr[r] for r in range(rps)]
-    curs, topsh, w, _, accs, ajs, snap, cks = jax.lax.fori_loop(
+    (curs, topsh, w, _, accs, ajs, snap, cks,
+     evecs, flast, _, ckse) = jax.lax.fori_loop(
         0, STEPS // unroll, word_fn,
         (curs0, topsh_scr[:, :], w_scr[:, :], coll_scr[:, :],
-         acc0, aj0, snap0, cks0),
+         acc0, aj0, snap0, cks0, evec0, flast0, fcoll0, ckse0),
     )
     for r in range(rps):
         cur_scr[r] = curs[r]
@@ -291,6 +392,12 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
     if ckpt_every:
         for r in range(rps):
             ckpt_scr[r] = cks[r]
+            if affine:
+                ckpte_scr[r] = ckse[r]
+    if affine:
+        for r in range(rps):
+            evec_scr[r] = evecs[r]
+        flast_scr[:, :] = flast
 
     @pl.when(g_blk == num_blk - 1)
     def _finish():
@@ -322,7 +429,7 @@ def make_left_input(lc_full, rps: int, slots: int):
     jax.jit,
     static_argnames=(
         "k_alpha", "local", "with_dirs", "rps", "ckpt_every", "slots",
-        "semi", "interpret"
+        "semi", "affine", "interpret"
     ),
 )
 def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
@@ -330,6 +437,8 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
                     with_dirs: bool = True, rps: int = ROWS_PER_SLOT,
                     ckpt_every: int = 0, slots: int = SLOTS,
                     semi: bool = False, left_in=None,
+                    affine: bool = False, ext=0, fbot_in=None,
+                    left_e=None,
                     interpret: bool = False):
     """Run one (rps*slots)-row strip sweep.
 
@@ -377,8 +486,8 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     srows = slots // 128
 
     scal = jnp.stack(
-        [jnp.asarray(x, _INT) for x in (gap, n, m, i0)]
-    ).reshape(1, 4)
+        [jnp.asarray(x, _INT) for x in (gap, n, m, i0, ext)]
+    ).reshape(1, 5)
     # Pack with traced ops (score_matrix may be a tracer under an outer
     # jit); the |score| <= 127 contract is validated at host entry
     # points via pack_score_matrix.
@@ -389,10 +498,11 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     # strip-0 bottom_in) with local-style max tracking masked to the last
     # pattern row — score = first max of row m.
     assert not (semi and local)
+    assert not (semi and affine)
     has_left = left_in is not None
     kernel = functools.partial(
         _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every,
-        slots, semi, has_left,
+        slots, semi, has_left, affine,
     )
     if ckpt_every:
         num_ckpts = max(1, (num_blocks * STEPS) // ckpt_every)
@@ -417,7 +527,7 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     vec = lambda: pl.BlockSpec((rps, srows, 128), lambda g: (0, 0, 0))  # noqa: E731
 
     in_specs = [
-        smem((1, 4), lambda g: (0, 0)),
+        smem((1, 5), lambda g: (0, 0)),
         smem((k_alpha, n_planes), lambda g: (0, 0)),
         smem((1, 1, STEPS), lambda g: (g, 0, 0)),
         smem((1, 1, STEPS), lambda g: (g, 0, 0)),
@@ -429,60 +539,92 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         bottom_in.astype(_INT).reshape(num_blocks, 1, STEPS),
         pattern_slots.astype(_INT),
     ]
+    if affine:
+        in_specs.append(smem((1, 1, STEPS), lambda g: (g, 0, 0)))
+        inputs.append(fbot_in.astype(_INT).reshape(num_blocks, 1, STEPS))
     if has_left:
         in_specs.append(
             pl.BlockSpec((rps + 1, srows, 128), lambda g: (0, 0, 0))
         )
         inputs.append(left_in.astype(_INT))
+        if affine:
+            in_specs.append(
+                pl.BlockSpec((rps + 1, srows, 128), lambda g: (0, 0, 0))
+            )
+            inputs.append(left_e.astype(_INT))
 
-    dirs, bot_out, rowmax, argj, snap, ckpts = pl.pallas_call(
+    bot_spec = pl.BlockSpec((STEPS // 128, srows, 128), lambda g: (g, 0, 0))
+    bot_shape = jax.ShapeDtypeStruct(
+        (num_blocks * (STEPS // 128), srows, 128), _INT
+    )
+    ckpt_spec = pl.BlockSpec((ckpt_rows, srows, 128), lambda g: (0, 0, 0))
+    ckpt_shape = jax.ShapeDtypeStruct((ckpt_rows, srows, 128), _INT)
+    out_specs = [dirs_spec]
+    out_shapes = [jax.ShapeDtypeStruct(dirs_shape, _INT)]
+    if affine:
+        out_specs.append(dirs_spec)
+        out_shapes.append(jax.ShapeDtypeStruct(dirs_shape, _INT))
+    out_specs.append(bot_spec)
+    out_shapes.append(bot_shape)
+    if affine:
+        out_specs.append(bot_spec)
+        out_shapes.append(bot_shape)
+    out_specs += [
+        vec(), vec(), pl.BlockSpec((srows, 128), lambda g: (0, 0)),
+        ckpt_spec,
+    ]
+    out_shapes += [
+        jax.ShapeDtypeStruct((rps, srows, 128), _INT),
+        jax.ShapeDtypeStruct((rps, srows, 128), _INT),
+        jax.ShapeDtypeStruct((srows, 128), _INT),
+        ckpt_shape,
+    ]
+    if affine:
+        out_specs.append(ckpt_spec)
+        out_shapes.append(ckpt_shape)
+    scratch_shapes = [
+        pltpu.VMEM((rps, srows, 128), _INT),   # cur
+        pltpu.VMEM((srows, 128), _INT),        # topsh
+        pltpu.VMEM((srows, 128), _INT),        # w
+        pltpu.VMEM((rps, srows, 128), _INT),   # acc
+        pltpu.VMEM((rps, srows, 128), _INT),   # aj
+        pltpu.VMEM((srows, 128), _INT),        # snap
+        pltpu.VMEM((srows, 128), _INT),        # coll
+        pltpu.VMEM((rps * n_planes, srows, 128), _INT),  # coef
+        pltpu.VMEM((ckpt_scr_rows, srows, 128), _INT),   # ckpt
+    ]
+    if affine:
+        scratch_shapes += [
+            pltpu.VMEM((rps, srows, 128), _INT),           # evec
+            pltpu.VMEM((srows, 128), _INT),                # flast
+            pltpu.VMEM((srows, 128), _INT),                # fcoll
+            pltpu.VMEM((ckpt_scr_rows, srows, 128), _INT),  # ckpt_e
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(num_blocks,),
         in_specs=in_specs,
-        out_specs=(
-            dirs_spec,
-            pl.BlockSpec(
-                (STEPS // 128, srows, 128), lambda g: (g, 0, 0)
-            ),
-            vec(),
-            vec(),
-            pl.BlockSpec((srows, 128), lambda g: (0, 0)),
-            pl.BlockSpec(
-                (ckpt_rows, srows, 128), lambda g: (0, 0, 0)
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(dirs_shape, _INT),
-            jax.ShapeDtypeStruct(
-                (num_blocks * (STEPS // 128), srows, 128), _INT
-            ),
-            jax.ShapeDtypeStruct((rps, srows, 128), _INT),
-            jax.ShapeDtypeStruct((rps, srows, 128), _INT),
-            jax.ShapeDtypeStruct((srows, 128), _INT),
-            jax.ShapeDtypeStruct((ckpt_rows, srows, 128), _INT),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((rps, srows, 128), _INT),   # cur
-            pltpu.VMEM((srows, 128), _INT),        # topsh
-            pltpu.VMEM((srows, 128), _INT),        # w
-            pltpu.VMEM((rps, srows, 128), _INT),   # acc
-            pltpu.VMEM((rps, srows, 128), _INT),   # aj
-            pltpu.VMEM((srows, 128), _INT),        # snap
-            pltpu.VMEM((srows, 128), _INT),        # coll
-            pltpu.VMEM((rps * n_planes, srows, 128), _INT),  # coef
-            pltpu.VMEM((ckpt_scr_rows, srows, 128), _INT),   # ckpt
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
-    bot_flat = bot_out[:, srows - 1, :].reshape(-1)
-    return (
-        dirs,
-        bot_flat.reshape(num_blocks, STEPS),
-        rowmax,
-        argj,
-        snap,
-        ckpts,
-    )
+    outs = list(outs)
+    dirs = outs.pop(0)
+    dirs2 = outs.pop(0) if affine else None
+    bot_out = outs.pop(0)
+    fbot_out = outs.pop(0) if affine else None
+    rowmax, argj, snap, ckpts = outs[:4]
+    ckpts_e = outs[4] if affine else None
+
+    def stream(x):
+        return x[:, srows - 1, :].reshape(num_blocks, STEPS)
+
+    base = (dirs, stream(bot_out), rowmax, argj, snap, ckpts)
+    if not affine:
+        return base
+    return base + (dirs2, stream(fbot_out), ckpts_e)
 
 
 def merge_local_best(rowmaxs, argjs, rows: int, rps: int, m: int,

@@ -247,14 +247,14 @@ def test_batch_aligner_affine():
         BatchAligner(sm, 4, gap_penalty=1, gap_extend=2)
 
 
-def test_affine_cli():
-    # --gap-extend through the full CLI (CPU engine); -g errors clearly.
-    import io as _io
-
-    from seqalign_tpu import api, constants
+def test_affine_cli(monkeypatch):
+    # --gap-extend through the full CLI: CPU engine, then the TPU
+    # (checkpointed wavefront) engine — byte-identical responses.
+    from seqalign_tpu import api
+    from seqalign_tpu.constants import Device
     from seqalign_tpu.types import Response
 
-    from .helpers import request_from_argv
+    from .helpers import request_from_argv, response_tuple, run
 
     request = request_from_argv(
         "--gap-penalty", "6", "--gap-extend", "1", "--local",
@@ -269,9 +269,55 @@ def test_affine_cli():
     )
     assert response.score == want
 
-    from seqalign_tpu.constants import Device
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
 
+
+def test_affine_semi_global_tpu_errors():
+    import io as _io
+
+    from seqalign_tpu import api, constants
+    from seqalign_tpu.constants import AlignmentType, Device
+    from seqalign_tpu.types import Response
+
+    from .helpers import request_from_strings
+
+    request = request_from_strings("ATCGATCG", "ATCG")
+    request.alignment_type = AlignmentType.SEMI_GLOBAL
+    request.gap_extend = 2
     request.device_type = Device.TPU
     err = _io.StringIO()
     assert api.align(request, Response(), err=err) == 1
-    assert err.getvalue() == constants.AFFINE_DEVICE_ERROR
+    assert err.getvalue() == constants.AFFINE_SEMI_ERROR
+
+
+def test_affine_checkpoint_fuzz_matches_oracle(monkeypatch):
+    # Randomized affine alignments through the checkpointed wavefront
+    # engine (multi-tile paths), byte-compared to sa_align_affine.
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    from seqalign_tpu.ops import checkpoint
+
+    rng = np.random.default_rng(33)
+    sm = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+    for trial in range(4):
+        n = int(rng.integers(2049, 4200))
+        m = int(rng.integers(64, 1300))
+        open_ = int(rng.integers(2, 10))
+        ext = int(rng.integers(1, min(open_, 5)))
+        local = bool(trial % 2)
+        t = rng.integers(0, 4, n).astype(np.int32)
+        p = rng.integers(0, 4, m).astype(np.int32)
+        score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
+            t, p, sm, 4, open_, local=local, gap_extend=ext,
+            ckpt_cols=2048, rps=1, slots=1024,
+        )
+        oat, oap, ost, osp, oscore = bindings.oracle_align_affine(
+            1 if local else 0, t.astype(np.int8), p.astype(np.int8),
+            sm, 4, open_, ext,
+        )
+        assert score == oscore, (trial, n, m, open_, ext, local)
+        np.testing.assert_array_equal(at, oat)
+        np.testing.assert_array_equal(ap, oap)
+        assert (st, sp) == (ost, osp)
