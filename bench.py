@@ -32,6 +32,10 @@ def main() -> None:
     except Exception:
         pass
 
+    from seqalign_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()  # no-op single-host
+
     from seqalign_tpu.bench.timing import device_seconds_per_call
     from seqalign_tpu.ops.pallas_fill import batch_score_pallas
 

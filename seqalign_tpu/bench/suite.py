@@ -377,6 +377,11 @@ def cmd_engines(args) -> None:
 
 
 def main(argv=None) -> int:
+    # Multi-host pods: join the distributed runtime before any device
+    # use (no-op single-host; see parallel/mesh.py).
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(prog="seqalign-bench")
     sub = parser.add_subparsers(dest="cmd", required=True)
     p = sub.add_parser("throughput")

@@ -39,9 +39,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def maybe_initialize_distributed() -> None:
-    """Initialize the jax.distributed runtime when launched multi-host
-    (controller coordinates via env configuration; no-op single-host)."""
+    """Initialize the jax.distributed runtime when launched multi-process
+    (no-op single-host).  On TPU pods jax auto-detects the topology;
+    for manual launches (scripts/distributed_worker.py, SLURM-less
+    clusters) set JAX_COORDINATOR_ADDRESS plus JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)

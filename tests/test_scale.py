@@ -66,6 +66,31 @@ def test_500k_local_fill_score():
     assert score > 0 and 0 < bi <= 500000 and 0 < bj <= 500000
 
 
+@pytest.mark.parametrize("local", [False, True])
+def test_affine_midsize_byte_identical(local):
+    # Affine (Gotoh) through the checkpointed wavefront engine on the
+    # real chip, byte-compared to sa_align_affine.
+    from seqalign_tpu.native import bindings
+    from seqalign_tpu.ops import checkpoint
+
+    rng = np.random.default_rng(7)
+    sm = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+    n = int(rng.integers(35000, 60000))
+    m = int(rng.integers(9000, 30000))
+    t = rng.integers(0, 4, n).astype(np.int32)
+    p = rng.integers(0, 4, m).astype(np.int32)
+    score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
+        t, p, sm, 4, 7, local=local, gap_extend=2
+    )
+    oat, oap, ost, osp, oscore = bindings.oracle_align_affine(
+        1 if local else 0, t.astype(np.int8), p.astype(np.int8), sm, 4, 7, 2
+    )
+    assert score == oscore
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
+
+
 @pytest.mark.parametrize("algo_kw", [{}, {"local": True}, {"semi": True}])
 def test_random_midsize_byte_identical(algo_kw):
     # Randomized ~35-70k pairs through the checkpointed engine on the
