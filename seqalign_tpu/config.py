@@ -57,6 +57,20 @@ def pair_engine() -> str:
     return "wavefront"
 
 
+def sequence_parallel() -> bool:
+    """Route long single pairs across a multi-device mesh
+    (parallel/sequence.py) when more than one device is visible.
+    SEQALIGN_SEQUENCE_PARALLEL=1/0 forces; default: on with >1 device.
+    On hosts with a slow device link the checkpointed engine (which
+    never streams the direction matrix) often wins — set =0 there."""
+    forced = os.environ.get("SEQALIGN_SEQUENCE_PARALLEL", "")
+    if forced in ("0", "1"):
+        return forced == "1"
+    import jax
+
+    return jax.device_count() > 1
+
+
 # Direction-matrix HBM budget for the single-call fill path; longer pairs
 # go through the tiled streaming engine (ops/tiled.py).
 MAX_DIRS_BYTES = int(

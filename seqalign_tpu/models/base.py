@@ -81,9 +81,19 @@ class PairAligner:
             * wavefront.SLOTS * 4
         )
         if words_bytes > config.MAX_HOST_DIRS_BYTES:
-            # Too long to stream the direction matrix: switch to the
+            # Too long for one streamed dispatch.  With a multi-device
+            # mesh, split the pair's column strips across devices
+            # (sequence parallelism, parallel/sequence.py) while the
+            # words still fit host RAM; otherwise (or beyond that) the
             # checkpointed engine (boundary checkpoints + path-only
             # traceback re-fill, ops/checkpoint.py).
+            if (
+                config.sequence_parallel()
+                and words_bytes <= config.MAX_DIRS_BYTES
+            ):
+                return self._align_sequence_parallel(
+                    text, pattern, sm, alphabet_size, gap_penalty
+                )
             return self._align_checkpoint(
                 text, pattern, sm, alphabet_size, gap_penalty
             )
@@ -97,6 +107,33 @@ class PairAligner:
                 1 if self.local else 0, words, steps_pad, text, pattern,
                 alphabet_size, best_i=bi, best_j=bj,
                 rps=wavefront.ROWS_PER_SLOT,
+            )
+        )
+        return AlignmentResult(
+            aligned_text=aligned_text,
+            aligned_pattern=aligned_pattern,
+            start_in_aligned_text=start_t,
+            start_in_aligned_pattern=start_p,
+            score=score,
+        )
+
+    def _align_sequence_parallel(self, text, pattern, score_matrix,
+                                 alphabet_size, gap_penalty):
+        """Multi-device single-pair fill (column strips across the mesh,
+        ppermute halo exchange) + host traceback over the streamed
+        packed words."""
+        from ..parallel.sequence import sequence_parallel_fill
+
+        score, bi, bj, words = sequence_parallel_fill(
+            np.asarray(text, dtype=np.int32),
+            np.asarray(pattern, dtype=np.int32),
+            self._score_matrix(score_matrix, alphabet_size),
+            alphabet_size, gap_penalty, local=self.local, with_dirs=True,
+        )
+        aligned_text, aligned_pattern, start_t, start_p = (
+            bindings.traceback_packed(
+                1 if self.local else 0, words, text, pattern,
+                alphabet_size, best_i=bi, best_j=bj,
             )
         )
         return AlignmentResult(

@@ -114,6 +114,8 @@ def sequence_parallel_fill(text, pattern, score_matrix, k_alpha: int,
 
     perm = [(i, i + 1) for i in range(d_count - 1)]
 
+    wpb = r // pallas_fill.DIR_ROWS_PER_WORD
+
     def worker(prof_d, prev_d, top_d):
         prof_d = prof_d[0]
         d = jax.lax.axis_index(axis)
@@ -121,9 +123,17 @@ def sequence_parallel_fill(text, pattern, score_matrix, k_alpha: int,
         pattern_all = jnp.asarray(pat_pad)
         lc0_all = jnp.asarray(lc0)
         state0 = jnp.asarray(pallas_fill._zeros_state(local))
+        # Exactly the strip's own direction words (t_blocks row blocks);
+        # inactive ramp-up/down supersteps write nothing, so the buffer
+        # is O(m_pad * strip_p) with no superstep padding.
+        dirs0 = (
+            jnp.zeros((t_blocks, wpb, SUBLANES, l), _INT)
+            if with_dirs
+            else jnp.zeros((1, 1, 1, 1), _INT)
+        )
 
         def superstep(carry, s):
-            prev_row, state, lc_block, lc_top = carry
+            prev_row, state, lc_block, lc_top, dirs_buf = carry
             t = s - d
             active = jnp.logical_and(t >= 0, t < t_blocks)
             t_c = jnp.clip(t, 0, t_blocks - 1)
@@ -143,21 +153,29 @@ def sequence_parallel_fill(text, pattern, score_matrix, k_alpha: int,
             prev_row = jnp.where(active, prev_out, prev_row)
             state = jnp.where(active, state_out, state)
             new_top = jnp.where(active, lc_block[r - 1], lc_top)
+            if with_dirs:
+                dirs_buf = jax.lax.cond(
+                    active,
+                    lambda b: jax.lax.dynamic_update_slice(
+                        b, dirs[None], (t_c, 0, 0, 0)
+                    ),
+                    lambda b: b,
+                    dirs_buf,
+                )
             # Halo exchange: my right boundary becomes the right
             # neighbor's left boundary at the next superstep.
             send = jnp.where(active, rcol, jnp.full((r,), NEG_INF, _INT))
             lc_next = jax.lax.ppermute(send, axis, perm)
-            ys = dirs if with_dirs else None
-            return (prev_row, state, lc_next, new_top), ys
+            return (prev_row, state, lc_next, new_top, dirs_buf), None
 
         lc_init = jnp.full((r,), NEG_INF, _INT)
-        (prev_row, state, _, _), dirs_all = jax.lax.scan(
+        (prev_row, state, _, _, dirs_buf), _ = jax.lax.scan(
             superstep,
-            (prev_d[0], state0, lc_init, top_d[0].reshape(())),
+            (prev_d[0], state0, lc_init, top_d[0].reshape(()), dirs0),
             jnp.arange(supersteps, dtype=_INT),
         )
         if with_dirs:
-            return state[None], dirs_all[None]
+            return state[None], dirs_buf[None]
         return state[None]
 
     spec = P(axis)
@@ -181,15 +199,14 @@ def sequence_parallel_fill(text, pattern, score_matrix, k_alpha: int,
     words = None
     if with_dirs:
         dirs_np = np.asarray(jax.device_get(dirs_all))
-        # dirs_np: (D, S, r/16, 8, l) — superstep s on device d holds row
-        # block t = s - d.
+        # dirs_np: (D, t_blocks, r/16, 8, l) — device d's strip, in row
+        # block order (the inactive-superstep padding never existed).
         words = np.empty(
             (m_pad // pallas_fill.DIR_ROWS_PER_WORD, total_p), np.int32
         )
-        wpb = r // pallas_fill.DIR_ROWS_PER_WORD
         for d in range(d_count):
             for t in range(t_blocks):
-                blk = dirs_np[d, t + d].reshape(wpb, strip_p)
+                blk = dirs_np[d, t].reshape(wpb, strip_p)
                 words[t * wpb : (t + 1) * wpb,
                       d * strip_p : (d + 1) * strip_p] = blk
     return score_or_best, bi, bj, words

@@ -36,6 +36,50 @@ def test_sequence_parallel_score(local):
         assert (bi, bj) == (obest // (n + 1), obest % (n + 1))
 
 
+@pytest.mark.parametrize("algo", ["--global", "--local"])
+def test_sequence_parallel_routed_through_api(algo, monkeypatch):
+    # The aligner routes long pairs to the sequence-parallel engine when
+    # a multi-device mesh is present (models/base.py); force the routing
+    # thresholds down and check the full Request->Response path against
+    # the CPU engine.
+    from seqalign_tpu import config
+    from seqalign_tpu.constants import Device
+
+    from .helpers import request_from_argv, response_tuple, run
+
+    monkeypatch.setattr(config, "MAX_HOST_DIRS_BYTES", 1)
+    monkeypatch.setenv("SEQALIGN_SEQUENCE_PARALLEL", "1")
+    request = request_from_argv(
+        "--gap-penalty", "5", algo,
+        "data/dna/NC_018874.txt", "data/dna/mutated_NC_018874.txt",
+    )
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
+
+
+def test_sequence_parallel_dirs_buffer_is_tight():
+    # The per-device dirs buffer holds exactly the strip's row blocks
+    # (no superstep ramp padding) — the assembled words must still match
+    # the oracle when t_blocks is small vs the device count.
+    rng = np.random.default_rng(5)
+    sm = _dna_sm()
+    n, m = 8500, 130  # t_blocks=2 << 8 devices: mostly ramp supersteps
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+    score, _, _, words = sequence_parallel_fill(
+        text, pattern, sm, 4, 3, local=False, with_dirs=True
+    )
+    odirs, oscore, _ = bindings.oracle_fill(
+        0, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 3
+    )
+    assert score == oscore
+    rows = np.arange(1, m + 1)
+    w = words[(rows - 1) // 16]
+    got = (w >> (2 * ((rows - 1) % 16))[:, None]) & 3
+    np.testing.assert_array_equal(got[:, :n], odirs[1:, 1:])
+
+
 def test_sequence_parallel_dirs_and_traceback():
     rng = np.random.default_rng(1)
     sm = _dna_sm()
