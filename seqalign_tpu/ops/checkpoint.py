@@ -41,6 +41,7 @@ import numpy as np
 from .. import config
 from ..native import bindings
 from . import pallas_fill, wavefront
+from .pallas_walk import pallas_walk_skewed_window, unpack_moves
 from .traceback import (
     device_walk_affine_skewed_window,
     device_walk_skewed_window,
@@ -383,14 +384,22 @@ def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all,
         left_e=left_e, interpret=interpret,
     )
     dirs = outs[0]
+    if not interpret:
+        # In-kernel Pallas walker (~150 ns/step vs ~1.7 us for the XLA
+        # gather walk); moves come back packed 16-per-int32.
+        return pallas_walk_skewed_window(
+            dirs, outs[6] if affine else None, rps, row_lo, col_lo,
+            i, j, wstate, local, affine, max_moves,
+        )
     if affine:
         return device_walk_affine_skewed_window(
             dirs, outs[6], rps, row_lo, col_lo, i, j, wstate, local,
             max_moves,
         )
-    return device_walk_skewed_window(
+    out, k, i2, j2, done = device_walk_skewed_window(
         dirs, rps, row_lo, col_lo, i, j, local, max_moves
     )
+    return out, k, i2, j2, jnp.asarray(0, _INT), done
 
 
 def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
@@ -477,7 +486,7 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             break
         c = (j - 1) // ck.ckpt_cols
         b = (i - 1) // ck.rows
-        res = _tile_refill_walk(
+        out, k, i_d, j_d, st_d, done_d = _tile_refill_walk(
             text_pad, pats_all, colvals_all, bounds,
             colvalse_all, boundsf_all, sm_dev, ck.gap, ext,
             b, c, i, j, wstate, k_alpha=k_alpha, local=local,
@@ -486,13 +495,12 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             tile_blocks=tile_blocks, max_moves=max_moves,
             interpret=interpret,
         )
-        if affine:
-            out, k, i_d, j_d, st_d, done_d = res
-            wstate = int(st_d)
-        else:
-            out, k, i_d, j_d, done_d = res
         k = int(k)
-        mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
+        wstate = int(st_d)
+        if interpret:
+            mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
+        else:
+            mv = unpack_moves(np.asarray(jax.device_get(out)), k)
         i, j, tile_done = int(i_d), int(j_d), bool(done_d)
         moves_parts.append(mv)
         if local:
