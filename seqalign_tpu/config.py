@@ -57,6 +57,32 @@ def pair_engine() -> str:
     return "wavefront"
 
 
+def available_host_bytes() -> int | None:
+    """Measured available host RAM (None if unknown) — used to cap the
+    streamed-direction-words budgets, the analog of the reference's
+    free-VRAM query in initMemory (alignSequenceGPU.cu:372-393)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
+def host_dirs_budget() -> int:
+    """Effective budget for direction words streamed to host RAM: the
+    configured MAX_HOST_DIRS_BYTES, capped at half the measured
+    available memory so an oversized override degrades to the
+    checkpointed engine instead of an allocation failure."""
+    budget = MAX_HOST_DIRS_BYTES
+    avail = available_host_bytes()
+    if avail is not None:
+        budget = min(budget, avail // 2)
+    return budget
+
+
 def sequence_parallel() -> bool:
     """Route long single pairs across a multi-device mesh
     (parallel/sequence.py) when more than one device is visible.

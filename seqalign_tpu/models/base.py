@@ -80,7 +80,7 @@ class PairAligner:
             * (steps_est // 16 + 1) * wavefront.ROWS_PER_SLOT
             * wavefront.SLOTS * 4
         )
-        if words_bytes > config.MAX_HOST_DIRS_BYTES:
+        if words_bytes > config.host_dirs_budget():
             # Too long for one streamed dispatch.  With a multi-device
             # mesh, split the pair's column strips across devices
             # (sequence parallelism, parallel/sequence.py) while the
@@ -186,8 +186,12 @@ class PairAligner:
             * pallas_fill.ROWS_PER_STEP,
         )
         dirs_bytes = (m_pad // pallas_fill.DIR_ROWS_PER_WORD) * p_cols * 4
+        avail = config.available_host_bytes()
+        dirs_budget = config.MAX_DIRS_BYTES
+        if avail is not None:
+            dirs_budget = min(dirs_budget, avail // 2)
         if (
-            dirs_bytes > config.MAX_DIRS_BYTES
+            dirs_bytes > dirs_budget
             or p_cols > 65536
             or m_pad > pallas_fill.MAX_CHUNK_ROWS
         ):
