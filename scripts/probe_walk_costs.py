@@ -150,10 +150,62 @@ def probe_batch_walk():
     )
 
 
+def probe_walker_kernels():
+    """Head-to-head: pallas_walk_skewed_window vs device_walk_skewed_window
+    on one production-geometry tile's worth of words."""
+    import jax.numpy as jnp
+
+    from seqalign_tpu.bench.timing import device_seconds_per_call
+    from seqalign_tpu.ops.pallas_walk import pallas_walk_skewed_window
+    from seqalign_tpu.ops.traceback import device_walk_skewed_window
+
+    rng = np.random.default_rng(0)
+    rps, slots = 4, 4096
+    srows = slots // 128
+    tile_steps = 36864
+    w_rows = tile_steps // 16 * rps
+    rows = rps * slots
+    # Random global-mode dirs (0..2): the walk from the far corner runs
+    # a full ~(rows + cols)-step path to the window edge.
+    words = jnp.asarray(
+        rng.integers(-(1 << 31), 1 << 31, (w_rows, srows, 128), dtype=np.int64
+                     ).astype(np.int32)
+    )
+    # Mask out STOP bits: dirs = word & 0b10 pattern can yield 3; force
+    # valid 0..2 by clearing one bit of each 2-bit field where both set.
+    both = jnp.asarray(0x55555555, jnp.int32)
+    w = words & ~((words >> 1) & words & both)  # clear low bit where '11'
+    i0, j0 = rows, 32768
+    max_moves = rows + 32768 + 1
+
+    def call_pallas(perturb):
+        mv, k, i, j, st, done = pallas_walk_skewed_window(
+            w, None, rps, 0, 0, i0, j0 + perturb * 0, 0, False, False,
+            max_moves,
+        )
+        return k
+
+    def call_xla(perturb):
+        out, k, i, j, done = device_walk_skewed_window(
+            w, rps, 0, 0, i0, j0 + perturb * 0, False, max_moves
+        )
+        return k
+
+    import jax
+
+    k = int(jax.device_get(call_pallas(jnp.asarray(0, jnp.int32))))
+    print(f"walker probe: path length {k} moves")
+    for name, fn in (("pallas-walker", call_pallas), ("xla-walker", call_xla)):
+        sec = device_seconds_per_call(fn, reps=3)
+        print(f"{name}: {sec * 1e3:8.2f} ms/walk  "
+              f"{sec / max(k, 1) * 1e9:7.0f} ns/move", flush=True)
+
+
 PROBES = {
     "pallas": probe_pallas_chase,
     "xla": probe_xla_chase,
     "batch": probe_batch_walk,
+    "walker": probe_walker_kernels,
 }
 
 

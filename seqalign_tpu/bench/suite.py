@@ -172,6 +172,48 @@ def cmd_latency(args) -> None:
             )
 
 
+def cmd_batch_e2e(args) -> None:
+    """End-to-end batch alignment (fill + traceback + host assembly),
+    the analog of the reference's batch benchmark — which could only
+    loop full requests one at a time (tests/benchmarks.cu:271-332, 32x
+    8192^2 global in 7205 ms on a GT 750M).  Here one dispatch fills the
+    whole batch with direction words and a second walks every pair in
+    lockstep."""
+    from ..parallel.batch import BatchAligner
+
+    rng = np.random.default_rng(5)
+    k = 4 if args.dna else 23
+    sm = (
+        np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
+        if args.dna
+        else _blosum50()
+    )
+    n = m = args.size
+    batches = args.pairs if args.pairs else [1, 8, 32, 256, 1024]
+    aligner = BatchAligner(sm, k, 5, local=args.local)
+    print(
+        f"End-to-end batch alignment, {n}x{m} "
+        f"{'local' if args.local else 'global'} "
+        f"{'DNA' if args.dna else 'protein'} pairs, wall time best of 2"
+    )
+    print(f"{'batch':>8} {'ms':>10} {'pairs/s':>10} {'GCUPS e2e':>10}")
+    for b in batches:
+        texts = [rng.integers(0, k, n).astype(np.int32) for _ in range(b)]
+        patterns = [rng.integers(0, k, m).astype(np.int32) for _ in range(b)]
+        box = {}
+
+        def run():
+            box["res"] = aligner.align(texts, patterns)
+
+        sec = wall_seconds(run, repeats=2)
+        assert len(box["res"]) == b
+        print(
+            f"{b:>8} {sec * 1e3:>10.0f} {b / sec:>10.0f} "
+            f"{b * n * m / sec / 1e9:>10.2f}",
+            flush=True,
+        )
+
+
 def cmd_batch(args) -> None:
     """Batch throughput grid.  Default: protein like the reference's
     fillDummyRequest batches; --dna --pairs 65536 runs the BASELINE
@@ -403,6 +445,12 @@ def main(argv=None) -> int:
         "--affine-extend", type=int, default=None, dest="affine_extend"
     )
     p.set_defaults(fn=cmd_batch)
+    p = sub.add_parser("batch-e2e")
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--dna", action="store_true")
+    p.add_argument("--local", action="store_true")
+    p.add_argument("--pairs", nargs="*", type=int)
+    p.set_defaults(fn=cmd_batch_e2e)
     p = sub.add_parser("maxlength")
     p.add_argument("--lengths", nargs="*", type=int, default=[120000])
     p.add_argument(

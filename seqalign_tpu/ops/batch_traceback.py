@@ -88,10 +88,10 @@ def batch_device_traceback(dirs, texts, patterns, ns, ms, bis, bjs,
     out_p0 = jnp.zeros((b, max_len), jnp.int32)
 
     def cond(state):
-        return jnp.any(state[5])
+        return jnp.any(state[6])
 
     def body(state):
-        i, j, ti, pi, k, alive, out_t, out_p = state
+        i, j, ti, pi, k, step, alive, out_t, out_p = state
         d_read = read_dirs(jnp.maximum(i, 1), jnp.maximum(j, 1))
         if local:
             d = d_read
@@ -122,15 +122,19 @@ def batch_device_traceback(dirs, texts, patterns, ns, ms, bis, bjs,
             ).reshape(b),
             gap_index,
         )
-        # Dead pairs scatter out of bounds and are dropped.
-        kc = jnp.where(emit, k, max_len)
-        out_t = out_t.at[pair, kc].set(
-            ch_t.astype(jnp.int32), mode="drop"
+        # A pair emits on a PREFIX of lockstep steps (alive never comes
+        # back), so every live pair's k equals the step counter — the
+        # write is one dense column update, not a scatter.
+        out_t = jax.lax.dynamic_update_slice(
+            out_t, jnp.where(emit, ch_t, 0).reshape(b, 1).astype(_INT),
+            (0, step),
         )
-        out_p = out_p.at[pair, kc].set(
-            ch_p.astype(jnp.int32), mode="drop"
+        out_p = jax.lax.dynamic_update_slice(
+            out_p, jnp.where(emit, ch_p, 0).reshape(b, 1).astype(_INT),
+            (0, step),
         )
         k = k + emit.astype(_INT)
+        step = jnp.minimum(step + 1, max_len - 1)
 
         i2 = jnp.where(emit & take_p, i - 1, i)
         j2 = jnp.where(emit & take_t, j - 1, j)
@@ -149,11 +153,12 @@ def batch_device_traceback(dirs, texts, patterns, ns, ms, bis, bjs,
             )
         ti = jnp.where(upd & take_t, jnp.maximum(ti - 1, 0), ti)
         pi = jnp.where(upd & take_p, jnp.maximum(pi - 1, 0), pi)
-        return (i2, j2, ti, pi, k, alive, out_t, out_p)
+        return (i2, j2, ti, pi, k, step, alive, out_t, out_p)
 
     state = jax.lax.while_loop(
         cond, body,
-        (i0, j0, ti0, pi0, jnp.zeros((b,), _INT), alive0, out_t0, out_p0),
+        (i0, j0, ti0, pi0, jnp.zeros((b,), _INT),
+         jnp.asarray(0, _INT), alive0, out_t0, out_p0),
     )
-    i, j, ti, pi, k, _, out_t, out_p = state
+    i, j, ti, pi, k, _, _, out_t, out_p = state
     return out_t, out_p, k, ti, pi, j

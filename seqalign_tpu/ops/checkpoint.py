@@ -250,22 +250,15 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k_alpha", "local", "semi", "affine", "rps", "slots", "ckpt_cols",
-        "tile_blocks", "max_moves", "interpret",
-    ),
-)
-def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all,
-                      colvalse_all, boundsf_all, sm,
-                      gap, ext, b, c, i, j, wstate, k_alpha: int,
-                      local: bool,
-                      semi: bool, affine: bool, rps: int, slots: int,
-                      ckpt_cols: int,
-                      tile_blocks: int, max_moves: int,
-                      interpret: bool = False):
-    """One dispatch: gather tile (c, b)'s boundary inputs from the saved
+def _tile_body(text_pad, pats_all, colvals_all, bounds_all,
+               colvalse_all, boundsf_all, sm,
+               gap, ext, b, c, i, j, wstate, k_alpha: int,
+               local: bool,
+               semi: bool, affine: bool, rps: int, slots: int,
+               ckpt_cols: int,
+               tile_blocks: int, max_moves: int,
+               interpret: bool = False):
+    """Gather tile (c, b)'s boundary inputs from the saved
     checkpoints, re-fill its direction words with the *wavefront* kernel
     (left-boundary-column variant — ~13x the strip kernel this replaced)
     and walk them on device; only the move list returns to the host.
@@ -402,6 +395,81 @@ def _tile_refill_walk(text_pad, pats_all, colvals_all, bounds_all,
     return out, k, i2, j2, jnp.asarray(0, _INT), done
 
 
+_TILE_STATICS = (
+    "k_alpha", "local", "semi", "affine", "rps", "slots", "ckpt_cols",
+    "tile_blocks", "max_moves", "interpret",
+)
+
+# Per-tile dispatch (interpreter-mode path; compiled runs use the
+# single-dispatch device loop below).
+_tile_refill_walk = functools.partial(
+    jax.jit, static_argnames=_TILE_STATICS
+)(_tile_body)
+
+
+@functools.partial(
+    jax.jit, static_argnames=_TILE_STATICS + ("moves_cap",)
+)
+def _traceback_device_loop(text_pad, pats_all, colvals_all, bounds_all,
+                           colvalse_all, boundsf_all, sm,
+                           gap, ext, i0, j0, st0, k_alpha: int,
+                           local: bool, semi: bool, affine: bool,
+                           rps: int, slots: int, ckpt_cols: int,
+                           tile_blocks: int, max_moves: int,
+                           moves_cap: int,
+                           interpret: bool = False):
+    """The WHOLE phase-2 traceback in one dispatch: a lax.while_loop
+    re-fills and walks one path tile per iteration (wavefront kernel +
+    in-kernel Pallas walker), appending each tile's moves to a device
+    buffer.  Only the final 2-bit-packed move list crosses the host
+    link — no per-tile round trips (~24 ms each through the tunnel).
+
+    Returns (packed2, k_total, i, j, state): packed2 is
+    (moves_cap/16,) int32 with move p at bits 2(p%16) of word p//16.
+    """
+    rows = rps * slots
+    idx = jnp.arange(max_moves, dtype=_INT)
+
+    def cond(state):
+        i, j, st, ktot, done, buf = state
+        return jnp.logical_and(
+            jnp.logical_not(done), jnp.logical_and(i > 0, j > 0)
+        )
+
+    def body(state):
+        i, j, st, ktot, done, buf = state
+        b = (i - 1) // rows
+        c = (j - 1) // ckpt_cols
+        packed, k, i2, j2, st2, tdone = _tile_body(
+            text_pad, pats_all, colvals_all, bounds_all,
+            colvalse_all, boundsf_all, sm, gap, ext, b, c, i, j, st,
+            k_alpha=k_alpha, local=local, semi=semi, affine=affine,
+            rps=rps, slots=slots, ckpt_cols=ckpt_cols,
+            tile_blocks=tile_blocks, max_moves=max_moves,
+            interpret=interpret,
+        )
+        unpacked = (packed[idx // 16] >> (2 * (idx % 16))) & 3
+        unpacked = jnp.where(idx < k, unpacked, 0)
+        buf = jax.lax.dynamic_update_slice(buf, unpacked, (ktot,))
+        done = tdone if local else jnp.asarray(False)
+        return (i2, j2, st2, ktot + k, done, buf)
+
+    buf0 = jnp.zeros((moves_cap,), _INT)
+    i, j, st, ktot, done, buf = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(i0, _INT), jnp.asarray(j0, _INT),
+         jnp.asarray(st0, _INT), jnp.asarray(0, _INT),
+         jnp.asarray(False), buf0),
+    )
+    # 2-bit-pack the move buffer for the trip home (4 KB per 16k moves).
+    packed2 = (
+        (buf.reshape(-1, 16) << (2 * jnp.arange(16, dtype=_INT)))
+        .sum(axis=1)
+        .astype(_INT)
+    )
+    return packed2, ktot, i, j, st
+
+
 def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
                            score_matrix, k_alpha: int):
     """Walk the optimal path by re-filling only the tiles it crosses.
@@ -472,17 +540,28 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
     start_i, start_j = i, j
     wstate = 0  # affine walk state (H/E-run/F-run), carried across tiles
 
+    if not interpret and not done:
+        # Compiled path: the whole tile loop runs on device in one
+        # dispatch (no per-tile host round trips).
+        moves_cap = -(-(ck.m + ck.n + max_moves + 1) // 16) * 16
+        packed2, ktot, i_d, j_d, st_d = _traceback_device_loop(
+            text_pad, pats_all, colvals_all, bounds,
+            colvalse_all, boundsf_all, sm_dev, ck.gap, ext,
+            i, j, wstate, k_alpha=k_alpha, local=local,
+            semi=ck.semi, affine=affine,
+            rps=rps, slots=slots, ckpt_cols=ck.ckpt_cols,
+            tile_blocks=tile_blocks, max_moves=max_moves,
+            moves_cap=moves_cap, interpret=interpret,
+        )
+        ktot = int(ktot)
+        moves_parts.append(
+            unpack_moves(np.asarray(jax.device_get(packed2)), ktot)
+        )
+        i, j = int(i_d), int(j_d)
+        done = True
+
     while not done:
         if not local and (i == 0 or j == 0):
-            # Forced first-row/column moves (alignSequenceCPU.cpp:77-81;
-            # j == 0 forces TOP before i == 0 forces LEFT; the affine
-            # oracle resets any gap-run state at the edges the same way).
-            # Semi-global stops at row 0 without emitting the free text
-            # end-gap.
-            if j == 0 and i > 0:
-                moves_parts.append(np.full(i, _TOP, np.uint8))
-            elif i == 0 and j > 0 and not ck.semi:
-                moves_parts.append(np.full(j, _LEFT, np.uint8))
             break
         c = (j - 1) // ck.ckpt_cols
         b = (i - 1) // ck.rows
@@ -497,10 +576,7 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
         )
         k = int(k)
         wstate = int(st_d)
-        if interpret:
-            mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
-        else:
-            mv = unpack_moves(np.asarray(jax.device_get(out)), k)
+        mv = np.asarray(jax.device_get(out))[:k].astype(np.uint8)
         i, j, tile_done = int(i_d), int(j_d), bool(done_d)
         moves_parts.append(mv)
         if local:
@@ -509,6 +585,17 @@ def checkpointed_traceback(ck: CheckpointedFill, text, pattern,
             done = i == 0
         else:
             done = i == 0 and j == 0
+
+    if not local and (i == 0 or j == 0) and not (i == 0 and j == 0):
+        # Forced first-row/column moves (alignSequenceCPU.cpp:77-81;
+        # j == 0 forces TOP before i == 0 forces LEFT; the affine
+        # oracle resets any gap-run state at the edges the same way).
+        # Semi-global stops at row 0 without emitting the free text
+        # end-gap.
+        if j == 0 and i > 0:
+            moves_parts.append(np.full(i, _TOP, np.uint8))
+        elif i == 0 and j > 0 and not ck.semi:
+            moves_parts.append(np.full(j, _LEFT, np.uint8))
 
     moves = (
         np.concatenate(moves_parts)
