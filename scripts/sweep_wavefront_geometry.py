@@ -42,8 +42,12 @@ def main() -> int:
     sm_j = jnp.asarray(sm)
     text = rng.integers(0, k, n).astype(np.int32)
 
-    geoms = [(8, 4096), (4, 4096), (2, 8192), (4, 8192), (1, 16384),
-             (2, 4096), (8, 2048)]
+    if "--deep" in sys.argv:
+        geoms = [(16, 4096), (8, 8192), (16, 2048), (32, 2048),
+                 (16, 8192), (32, 4096)]
+    else:
+        geoms = [(8, 4096), (4, 4096), (2, 8192), (4, 8192), (1, 16384),
+                 (2, 4096), (8, 2048)]
     print(f"wavefront with-dirs sweep: n={n} {'local' if local else 'global'}"
           f" k={k}")
     for rps, slots in geoms:

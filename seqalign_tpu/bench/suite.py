@@ -60,8 +60,10 @@ def _pair_fill_seconds(n, m, local, rng, sm) -> float:
 
     from ..ops import wavefront as wf
 
+    from ..ops import checkpoint
+
     text = _random_protein(rng, n)
-    rps, slots = 4, 4096  # wide geometry (same 16384-row strips)
+    rps, slots = checkpoint._pick_geometry(m, None, None)
     steps_pad = -(-(n + slots - 1) // wf.STEPS) * wf.STEPS
     nb = steps_pad // wf.STEPS
     ts = jnp.asarray(

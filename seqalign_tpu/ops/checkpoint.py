@@ -52,13 +52,24 @@ _INT = jnp.int32
 _LEFT, _DIAG, _TOP, _STOP = 0, 1, 2, 3
 
 DEFAULT_CKPT_COLS = 32768  # column-checkpoint spacing (= re-fill tile width)
-# Phase-1 wavefront geometry: 4096 vector slots x 4 rows per slot keeps
-# the 16384-row strip height (strip_fill_pallas re-fills still fit) but
-# shortens the sequential per-step row chain 4x by widening every vector
-# op to 32 sublane-rows — the same latency amortization that took the
-# batch kernel from 119 to ~300+ GCUPS.
+# Phase-1 wavefront geometry: 4096 vector slots, rows-per-slot picked by
+# pattern length.  Deeper strips amortize the sequential per-step row
+# chain over more rows: with-dirs GCUPS measured 75.4 (rps=4, 16384-row
+# strips) vs 134.7 (rps=16, 65536-row strips) on protein 32768-wide
+# sweeps (scripts/sweep_wavefront_geometry.py; rps=32 fails to compile).
+# Short patterns stay at rps=4 so strip padding doesn't eat the gain.
 DEFAULT_CKPT_RPS = 4
 DEFAULT_CKPT_SLOTS = 4096
+DEEP_CKPT_RPS = 16
+DEEP_CKPT_MIN_ROWS = 36864  # break-even m between the two geometries
+
+
+def _pick_geometry(m: int, rps, slots):
+    if rps is not None or slots is not None:
+        return rps or DEFAULT_CKPT_RPS, slots or DEFAULT_CKPT_SLOTS
+    if m >= DEEP_CKPT_MIN_ROWS:
+        return DEEP_CKPT_RPS, DEFAULT_CKPT_SLOTS
+    return DEFAULT_CKPT_RPS, DEFAULT_CKPT_SLOTS
 
 
 @dataclasses.dataclass
@@ -96,8 +107,8 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
                       local: bool = False, semi: bool = False,
                       gap_extend: int | None = None,
                       ckpt_cols: int = DEFAULT_CKPT_COLS,
-                      rps: int = DEFAULT_CKPT_RPS,
-                      slots: int = DEFAULT_CKPT_SLOTS) -> CheckpointedFill:
+                      rps: int | None = None,
+                      slots: int | None = None) -> CheckpointedFill:
     """Score-only wavefront fill keeping tile boundary checkpoints on
     device (the strip loop mirrors wavefront.wavefront_fill).
 
@@ -116,6 +127,7 @@ def checkpointed_fill(text, pattern, score_matrix, k_alpha: int, gap: int,
     n, m = text_np.shape[0], pattern_np.shape[0]
     gap = int(gap)
     interpret = config.pallas_interpret()
+    rps, slots = _pick_geometry(m, rps, slots)
     rows = rps * slots
 
     num_strips = max(1, -(-m // rows))
@@ -622,8 +634,8 @@ def checkpointed_align(text, pattern, score_matrix, k_alpha: int, gap: int,
                        local: bool = False, semi: bool = False,
                        gap_extend: int | None = None,
                        ckpt_cols: int = DEFAULT_CKPT_COLS,
-                       rps: int = DEFAULT_CKPT_RPS,
-                       slots: int = DEFAULT_CKPT_SLOTS):
+                       rps: int | None = None,
+                       slots: int | None = None):
     """Full alignment of an arbitrarily long pair in O(boundary) memory.
 
     Returns (score, best_i, best_j, aligned_text_idx, aligned_pattern_idx,
