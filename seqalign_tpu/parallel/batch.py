@@ -170,12 +170,18 @@ class BatchAligner:
         return out
 
     @staticmethod
-    def _dirs_tile_pairs(n_pad: int) -> int:
+    def _dirs_tile_pairs(n_pad: int, m_pad: int) -> int:
         """Pairs per grid step of the dirs-emitting kernel, sized so the
         ~4 (n_pad x tile_pairs) int32 VMEM buffers stay inside the lifted
-        scoped-VMEM budget."""
+        scoped-VMEM budget AND one tile's direction words stay under
+        2^30 elements (the batched walker's flat int32 index space)."""
+        words_per_pair = (m_pad // 16) * n_pad
         t = 128
-        while t < 2048 and 16 * n_pad * (t * 2) <= 64 * 1024 * 1024:
+        while (
+            t < 2048
+            and 16 * n_pad * (t * 2) <= 64 * 1024 * 1024
+            and words_per_pair * (t * 2) <= 1 << 30
+        ):
             t *= 2
         return t
 
@@ -196,7 +202,10 @@ class BatchAligner:
         """
         from ..models.base import AlignmentResult
         from ..native import bindings
-        from ..ops.batch_traceback import batch_device_traceback
+        from ..ops.batch_traceback import (
+            batch_device_traceback,
+            unpack_batch_moves,
+        )
 
         if self.gap_extend is not None:
             raise ValueError(
@@ -228,7 +237,7 @@ class BatchAligner:
 
         k_alpha = self.score_matrix.shape[0]
         for (n_pad, m_pad), idx in sorted(groups.items()):
-            tile_pairs = self._dirs_tile_pairs(n_pad)
+            tile_pairs = self._dirs_tile_pairs(n_pad, m_pad)
             b = len(idx)
             b_pad = -(-b // tile_pairs) * tile_pairs
             t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
@@ -253,22 +262,33 @@ class BatchAligner:
                 matched = scores > 0
                 bis = jnp.where(matched, bis, 0)
                 bjs = jnp.where(matched, bjs, 0)
-            out_t, out_p, lens, tis, pis, j_fin = batch_device_traceback(
-                dirs, jnp.asarray(t_arr), jnp.asarray(p_arr),
-                ns, ms, bis, bjs, k_alpha,
-                local=self.local, semi=self.semi, max_len=n_pad + m_pad,
+            max_len = -(-(n_pad + m_pad) // 16) * 16
+            packed, lens, i_fin, j_fin = batch_device_traceback(
+                dirs, ns, ms, bis, bjs,
+                local=self.local, semi=self.semi, max_len=max_len,
             )
-            scores, out_t, out_p, lens, tis, pis, j_fin = jax.device_get(
-                (scores, out_t, out_p, lens, tis, pis, j_fin)
+            scores, packed, lens, i_fin, j_fin, bis_np, bjs_np = (
+                jax.device_get(
+                    (scores, packed, lens, i_fin, j_fin, bis, bjs)
+                )
             )
+            packed = np.asarray(packed)
+            # Replay each pair's move list through the native emitter —
+            # the same path (and cursor semantics) the checkpointed
+            # engine uses.
             for row, i in enumerate(idx):
                 ln = int(lens[row])
-                at = np.asarray(out_t[row, :ln][::-1], dtype=np.uint8)
-                ap = np.asarray(out_p[row, :ln][::-1], dtype=np.uint8)
+                mv = unpack_batch_moves(packed, ln, row)
+                if self.local or self.semi:
+                    start_i, start_j = int(bis_np[row]), int(bjs_np[row])
+                else:
+                    start_i, start_j = int(ms[row]), int(ns[row])
+                at, ap, st, sp = bindings.emit_moves(
+                    mv, start_i, start_j, self.local,
+                    texts[i], patterns[i], k_alpha,
+                )
                 if self.semi:
                     st, sp = int(j_fin[row]), 0
-                else:
-                    st, sp = int(tis[row]), int(pis[row])
                 results[i] = AlignmentResult(
                     aligned_text=at,
                     aligned_pattern=ap,
