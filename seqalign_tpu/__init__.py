@@ -8,7 +8,8 @@ matrices, exact traceback, an EMBOSS-style report, plus batched and
 multi-host data-parallel alignment the reference only benchmarks
 sequentially.  Extensions beyond the reference: semi-global ("fit")
 alignment on every engine and affine (Gotoh) gap costs (full alignment
-on the CPU oracle, batched scoring on TPU via parallel.batch).
+on both the TPU engines and the CPU oracle, plus batched scoring via
+parallel.batch).
 """
 
 from . import constants

@@ -263,16 +263,35 @@ class BatchAligner:
                 bis = jnp.where(matched, bis, 0)
                 bjs = jnp.where(matched, bjs, 0)
             max_len = -(-(n_pad + m_pad) // 16) * 16
-            packed, lens, i_fin, j_fin = batch_device_traceback(
-                dirs, ns, ms, bis, bjs,
-                local=self.local, semi=self.semi, max_len=max_len,
-            )
-            scores, packed, lens, i_fin, j_fin, bis_np, bjs_np = (
-                jax.device_get(
-                    (scores, packed, lens, i_fin, j_fin, bis, bjs)
+            # The walker's flat gather index is int32: chunk the walk
+            # into whole-tile groups whose words stay under 2^31
+            # elements (big-pair batches span multiple tiles).
+            num_tiles = dirs.shape[0]
+            per_tile = int(np.prod(dirs.shape[1:]))
+            group = max(1, ((1 << 31) - 1) // per_tile)
+            packed_parts, lens_parts, i_parts, j_parts = [], [], [], []
+            for g0 in range(0, num_tiles, group):
+                g1 = min(g0 + group, num_tiles)
+                lo, hi = g0 * tile_pairs, g1 * tile_pairs
+                pk, ln, fi, fj = batch_device_traceback(
+                    dirs[g0:g1], ns[lo:hi], ms[lo:hi],
+                    bis[lo:hi], bjs[lo:hi],
+                    local=self.local, semi=self.semi, max_len=max_len,
                 )
+                packed_parts.append(pk)
+                lens_parts.append(ln)
+                i_parts.append(fi)
+                j_parts.append(fj)
+            scores, packed_parts, lens_parts, i_parts, j_parts, \
+                bis_np, bjs_np = jax.device_get(
+                    (scores, packed_parts, lens_parts, i_parts, j_parts,
+                     bis, bjs)
+                )
+            packed = np.concatenate(
+                [np.asarray(p) for p in packed_parts], axis=1
             )
-            packed = np.asarray(packed)
+            lens = np.concatenate(lens_parts)
+            j_fin = np.concatenate(j_parts)
             # Replay each pair's move list through the native emitter —
             # the same path (and cursor semantics) the checkpointed
             # engine uses.
