@@ -237,6 +237,11 @@ def pallas_walk_skewed_window(words, words2, rps: int, row_lo, col_lo,
             jax.ShapeDtypeStruct((1, 5), _INT),
         ),
         scratch_shapes=scratch,
+        # Two affine windows at rps=16 reach the default 16 MiB
+        # scoped-VMEM cap; lift it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*inputs)
     return (

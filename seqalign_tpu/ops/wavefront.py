@@ -608,6 +608,13 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch_shapes,
+        # Deep geometries (rps=16) with protein coefficient planes and
+        # dirs blocks exceed the compiler's default 16 MiB scoped-VMEM
+        # cap (~29 MiB measured for local+protein); lift it like the
+        # batch kernel does.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*inputs)
     outs = list(outs)
