@@ -188,10 +188,11 @@ class BatchAligner:
     def align(self, texts: Sequence[np.ndarray],
               patterns: Sequence[np.ndarray]) -> list:
         """Full alignments (score + traceback) for all pairs, end to end
-        on device: one dispatch fills a whole padded bucket with packed
-        direction words, a second walks every pair in lockstep — only
-        the aligned strings come back.  The reference can only loop
-        requests one at a time (tests/benchmarks.cu:271-332).
+        on device and data-parallel over the mesh: each device fills its
+        pair shard with packed direction words and walks every pair in
+        lockstep — only the packed move lists come back.  The reference
+        can only loop requests one at a time
+        (tests/benchmarks.cu:271-332).
 
         Unlike score(), pairs are aligned exactly as given (no internal
         text/pattern swap — the tie policy is orientation-sensitive, so
@@ -236,10 +237,15 @@ class BatchAligner:
             groups.setdefault((n_pad, m_pad), []).append(i)
 
         k_alpha = self.score_matrix.shape[0]
+        mesh = self.mesh
+        d_count = mesh.size
+        spec = P(mesh_lib.DATA_AXIS)
+        rep = P()
         for (n_pad, m_pad), idx in sorted(groups.items()):
             tile_pairs = self._dirs_tile_pairs(n_pad, m_pad)
+            quantum = tile_pairs * d_count
             b = len(idx)
-            b_pad = -(-b // tile_pairs) * tile_pairs
+            b_pad = max(quantum, -(-b // quantum) * quantum)
             t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
             p_arr = np.zeros((b_pad, m_pad), dtype=np.int32)
             ns = np.zeros(b_pad, dtype=np.int32)
@@ -249,49 +255,66 @@ class BatchAligner:
                 t_arr[row, : t.shape[0]] = t
                 p_arr[row, : p.shape[0]] = p
                 ns[row], ms[row] = t.shape[0], p.shape[0]
-            scores, bis, bjs, dirs = pallas_fill.batch_fill_dirs_pallas(
-                jnp.asarray(t_arr), jnp.asarray(p_arr),
-                jnp.asarray(ns), jnp.asarray(ms),
-                self.score_matrix, self.gap_penalty,
-                k_alpha=k_alpha, local=self.local, semi=self.semi,
-                tile_pairs=tile_pairs, interpret=interpret,
-            )
-            if self.local:
-                # No-match pairs (best <= 0): empty alignment with the
-                # reference's cursor sentinels (maxIJ stays 0).
-                matched = scores > 0
-                bis = jnp.where(matched, bis, 0)
-                bjs = jnp.where(matched, bjs, 0)
             max_len = -(-(n_pad + m_pad) // 16) * 16
-            # The walker's flat gather index is int32: chunk the walk
-            # into whole-tile groups whose words stay under 2^31
-            # elements (big-pair batches span multiple tiles).
-            num_tiles = dirs.shape[0]
-            per_tile = int(np.prod(dirs.shape[1:]))
-            group = max(1, ((1 << 31) - 1) // per_tile)
-            packed_parts, lens_parts, i_parts, j_parts = [], [], [], []
-            for g0 in range(0, num_tiles, group):
-                g1 = min(g0 + group, num_tiles)
-                lo, hi = g0 * tile_pairs, g1 * tile_pairs
-                pk, ln, fi, fj = batch_device_traceback(
-                    dirs[g0:g1], ns[lo:hi], ms[lo:hi],
-                    bis[lo:hi], bjs[lo:hi],
-                    local=self.local, semi=self.semi, max_len=max_len,
+
+            def shard(t_s, p_s, ns_s, ms_s, sm):
+                # Fill + lockstep walk of this device's pair shard.
+                scores, bis, bjs, dirs = (
+                    pallas_fill.batch_fill_dirs_pallas(
+                        t_s, p_s, ns_s, ms_s, sm, self.gap_penalty,
+                        k_alpha=k_alpha, local=self.local,
+                        semi=self.semi, tile_pairs=tile_pairs,
+                        interpret=interpret,
+                    )
                 )
-                packed_parts.append(pk)
-                lens_parts.append(ln)
-                i_parts.append(fi)
-                j_parts.append(fj)
-            scores, packed_parts, lens_parts, i_parts, j_parts, \
-                bis_np, bjs_np = jax.device_get(
-                    (scores, packed_parts, lens_parts, i_parts, j_parts,
-                     bis, bjs)
+                if self.local:
+                    # No-match pairs (best <= 0): empty alignment with
+                    # the reference's cursor sentinels (maxIJ stays 0).
+                    matched = scores > 0
+                    bis = jnp.where(matched, bis, 0)
+                    bjs = jnp.where(matched, bjs, 0)
+                # The walker's flat gather index is int32: walk in
+                # whole-tile groups whose words stay under 2^31 elements
+                # (big-pair batches span multiple tiles).
+                num_tiles = dirs.shape[0]
+                per_tile = int(np.prod(dirs.shape[1:]))
+                group = max(1, ((1 << 31) - 1) // per_tile)
+                parts = ([], [], [])
+                for g0 in range(0, num_tiles, group):
+                    g1 = min(g0 + group, num_tiles)
+                    lo, hi = g0 * tile_pairs, g1 * tile_pairs
+                    pk, ln, _, fj = batch_device_traceback(
+                        dirs[g0:g1], ns_s[lo:hi], ms_s[lo:hi],
+                        bis[lo:hi], bjs[lo:hi],
+                        local=self.local, semi=self.semi,
+                        max_len=max_len,
+                    )
+                    parts[0].append(pk)
+                    parts[1].append(ln)
+                    parts[2].append(fj)
+                return (
+                    scores, bis, bjs,
+                    jnp.concatenate(parts[0], axis=1),
+                    jnp.concatenate(parts[1]),
+                    jnp.concatenate(parts[2]),
                 )
-            packed = np.concatenate(
-                [np.asarray(p) for p in packed_parts], axis=1
+
+            fill_walk = jax.shard_map(
+                shard,
+                mesh=mesh,
+                in_specs=(spec, spec, spec, spec, rep),
+                out_specs=(spec, spec, spec, P(None, mesh_lib.DATA_AXIS),
+                           spec, spec),
+                check_vma=False,
             )
-            lens = np.concatenate(lens_parts)
-            j_fin = np.concatenate(j_parts)
+            scores, bis, bjs, packed, lens, j_fin = fill_walk(
+                jnp.asarray(t_arr), jnp.asarray(p_arr),
+                jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
+            )
+            scores, packed, lens, j_fin, bis_np, bjs_np = jax.device_get(
+                (scores, packed, lens, j_fin, bis, bjs)
+            )
+            packed = np.asarray(packed)
             # Replay each pair's move list through the native emitter —
             # the same path (and cursor semantics) the checkpointed
             # engine uses.
