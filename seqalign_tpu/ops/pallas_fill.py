@@ -127,7 +127,8 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                       sub_rows: int, affine: bool, semi: bool,
                       with_dirs: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
-                      out_ref, dirs_ref, row_ref, f_ref, state_scr):
+                      out_ref, dirs_ref, dirs2_ref, row_ref, f_ref,
+                      state_scr):
     """Inter-pair batch fill: tile_pairs pairs per grid step, one pair
     per (sublane-row, lane) slot; DP cells walked sequentially per pair.
 
@@ -230,8 +231,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             prev_j = row_ref[j]
             diag = diag_carry + sub
             if affine:
-                e = jnp.maximum(e - ge, left - g)
-                f = jnp.maximum(f_ref[j] - ge, prev_j - g)
+                e_ext = e - ge
+                e_open = left - g
+                e = jnp.maximum(e_ext, e_open)
+                f_ext = f_ref[j] - ge
+                f_open = prev_j - g
+                f = jnp.maximum(f_ext, f_open)
                 f_ref[j] = f
                 gap_best = jnp.maximum(e, f)
             else:
@@ -242,10 +247,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             row_ref[j] = cur
             if with_dirs:
                 # Reference tie policy: DIAG only if strictly greater
-                # than both gap moves; LEFT beats TOP on gap ties.
+                # than both gap moves; LEFT beats TOP on gap ties (for
+                # affine, E beats F — oracle.cpp sa_align_affine).
                 is_diag = diag > gap_best
+                gl, gt = (e, f) if affine else (left, prev_j)
                 is_left = jnp.logical_and(
-                    jnp.logical_not(is_diag), left >= prev_j
+                    jnp.logical_not(is_diag), gl >= gt
                 )
                 d = jnp.where(
                     is_diag, 1, jnp.where(is_left, 0, 2)
@@ -253,11 +260,20 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 if local:
                     d = jnp.where(jnp.maximum(diag, gap_best) > 0, d, 3)
                 word = d << (2 * ((i - 1) % DIR_ROWS_PER_WORD))
+                first_of_word = (i - 1) % DIR_ROWS_PER_WORD == 0
                 dirs_ref[j] = jnp.where(
-                    (i - 1) % DIR_ROWS_PER_WORD == 0,
-                    word,
-                    dirs_ref[j] | word,
+                    first_of_word, word, dirs_ref[j] | word
                 )
+                if affine:
+                    # Run-continuation bits: stay in a gap run iff
+                    # extending strictly beats reopening from H.
+                    d2 = (e_ext > e_open).astype(_INT) | (
+                        (f_ext > f_open).astype(_INT) << 1
+                    )
+                    word2 = d2 << (2 * ((i - 1) % DIR_ROWS_PER_WORD))
+                    dirs2_ref[j] = jnp.where(
+                        first_of_word, word2, dirs2_ref[j] | word2
+                    )
             if local:
                 ok = jnp.logical_and(j < nvec, row_live)
                 cand = jnp.where(ok, cur, NEG_INF)
@@ -396,7 +412,7 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
         False,
     )
-    out, _ = pl.pallas_call(
+    out, _, _ = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
         in_specs=[
@@ -413,10 +429,12 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         out_specs=(
             pl.BlockSpec((1, sub_rows, 128), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, sub_rows, 128), lambda t: (0, 0, 0)),
+            pl.BlockSpec((1, sub_rows, 128), lambda t: (0, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, sub_rows, 128), _INT),
             jax.ShapeDtypeStruct((1, sub_rows, 128), _INT),  # dirs dummy
+            jax.ShapeDtypeStruct((1, sub_rows, 128), _INT),  # dirs2 dummy
         ),
         scratch_shapes=[
             pltpu.VMEM((n, sub_rows, 128), _INT),
@@ -447,6 +465,7 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
                            k_alpha: int, local: bool = False,
                            semi: bool = False,
                            tile_pairs: int = DIRS_TILE_PAIRS,
+                           gap_extend=None,
                            interpret: bool = False):
     """Batched fill emitting packed direction words (inter-pair kernel).
 
@@ -456,16 +475,20 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     loop full alignments one request at a time
     (tests/benchmarks.cu:271-332).
 
-    Args: as batch_score_pallas (linear gap only); patterns' padded width
-    must be a multiple of 16 (DIR_ROWS_PER_WORD).
+    Args: as batch_score_pallas; patterns' padded width must be a
+    multiple of 16 (DIR_ROWS_PER_WORD).  gap_extend switches to affine
+    (Gotoh) costs and additionally emits the E/F run-continuation
+    bitplane (same encoding as the wavefront affine kernel).
 
-    Returns (scores, best_is, best_js, dirs):
+    Returns (scores, best_is, best_js, dirs, dirs2):
       scores: (B,) int32 (local scores floored at 0 like the reference);
       best_is/best_js: (B,) int32 — SW/semi best cell (first row-major
         occurrence; garbage for global — the walk starts at (m, n));
       dirs: (num_tiles, m/16, n, sub_rows, 128) int32 — word (t, w, j)
         holds the 2-bit directions of DP rows 16w+1..16w+16 at column
-        j+1 of every pair in tile t (slot = sublane-row*128 + lane).
+        j+1 of every pair in tile t (slot = sublane-row*128 + lane);
+      dirs2: same layout for the affine continuation bits (bit 0 E-run,
+        bit 1 F-run), or None for linear gaps.
     """
     b, n = texts.shape
     m = patterns.shape[1]
@@ -485,8 +508,10 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
 
     texts_s = to_slots(texts, n)
     pats_s = to_slots(patterns, m)
+    affine = gap_extend is not None
     gap_arr = jnp.stack(
-        [jnp.asarray(gap, _INT), jnp.asarray(gap, _INT)]
+        [jnp.asarray(gap, _INT),
+         jnp.asarray(gap_extend if affine else gap, _INT)]
     ).reshape(1, 2)
     if _use_packed_subs(k_alpha):
         sm = pack_score_matrix_traced(score_matrix, k_alpha)
@@ -494,11 +519,25 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
     assert not (semi and local)
+    assert not (semi and affine)
     kernel = functools.partial(
-        _interpair_kernel, k_alpha, local, n, m, sub_rows, False, semi,
+        _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
         True,
     )
-    out, dirs = pl.pallas_call(
+    dirs_spec = pl.BlockSpec(
+        (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)
+    )
+    dirs_shape = jax.ShapeDtypeStruct(
+        (num_tiles * num_w * n, sub_rows, 128), _INT
+    )
+    if affine:
+        dirs2_spec, dirs2_shape = dirs_spec, dirs_shape
+    else:
+        dirs2_spec = pl.BlockSpec(
+            (1, sub_rows, 128), lambda t, w: (0, 0, 0)
+        )
+        dirs2_shape = jax.ShapeDtypeStruct((1, sub_rows, 128), _INT)
+    out, dirs, dirs2 = pl.pallas_call(
         kernel,
         grid=(num_tiles, num_w),
         in_specs=[
@@ -519,19 +558,17 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
         ],
         out_specs=(
             pl.BlockSpec((3, sub_rows, 128), lambda t, w: (t, 0, 0)),
-            pl.BlockSpec(
-                (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)
-            ),
+            dirs_spec,
+            dirs2_spec,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles * 3, sub_rows, 128), _INT),
-            jax.ShapeDtypeStruct(
-                (num_tiles * num_w * n, sub_rows, 128), _INT
-            ),
+            dirs_shape,
+            dirs2_shape,
         ),
         scratch_shapes=[
             pltpu.VMEM((n, sub_rows, 128), _INT),
-            pltpu.VMEM((1, sub_rows, 128), _INT),
+            pltpu.VMEM((n if affine else 1, sub_rows, 128), _INT),
             pltpu.VMEM((3, sub_rows, 128), _INT),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -546,7 +583,12 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     best_is = out[:, 1, :].reshape(-1)
     best_js = out[:, 2, :].reshape(-1)
     dirs = dirs.reshape(num_tiles, num_w, n, sub_rows, 128)
-    return scores, best_is, best_js, dirs
+    dirs2 = (
+        dirs2.reshape(num_tiles, num_w, n, sub_rows, 128)
+        if affine
+        else None
+    )
+    return scores, best_is, best_js, dirs, dirs2
 
 
 # ----------------------------------------------------------------------------

@@ -207,11 +207,9 @@ class BatchAligner:
             batch_device_traceback,
             unpack_batch_moves,
         )
+        from ..ops.traceback import emit_moves_affine
 
-        if self.gap_extend is not None:
-            raise ValueError(
-                "batched affine traceback is not supported (scoring only)"
-            )
+        affine = self.gap_extend is not None
         texts = [np.asarray(t, dtype=np.int32) for t in texts]
         patterns = [np.asarray(p, dtype=np.int32) for p in patterns]
         use_pallas = config.use_pallas()
@@ -222,10 +220,18 @@ class BatchAligner:
             algo = 2 if self.semi else (1 if self.local else 0)
             out = []
             for t, p in zip(texts, patterns):
-                at, ap, st, sp, sc = bindings.oracle_align(
-                    algo, t.astype(np.int8), p.astype(np.int8),
-                    np.asarray(self.score_matrix), k, self.gap_penalty,
-                )
+                if affine:
+                    at, ap, st, sp, sc = bindings.oracle_align_affine(
+                        algo, t.astype(np.int8), p.astype(np.int8),
+                        np.asarray(self.score_matrix), k,
+                        self.gap_penalty, self.gap_extend,
+                    )
+                else:
+                    at, ap, st, sp, sc = bindings.oracle_align(
+                        algo, t.astype(np.int8), p.astype(np.int8),
+                        np.asarray(self.score_matrix), k,
+                        self.gap_penalty,
+                    )
                 out.append(AlignmentResult(at, ap, st, sp, sc))
             return out
 
@@ -259,11 +265,12 @@ class BatchAligner:
 
             def shard(t_s, p_s, ns_s, ms_s, sm):
                 # Fill + lockstep walk of this device's pair shard.
-                scores, bis, bjs, dirs = (
+                scores, bis, bjs, dirs, dirs2 = (
                     pallas_fill.batch_fill_dirs_pallas(
                         t_s, p_s, ns_s, ms_s, sm, self.gap_penalty,
                         k_alpha=k_alpha, local=self.local,
                         semi=self.semi, tile_pairs=tile_pairs,
+                        gap_extend=self.gap_extend,
                         interpret=interpret,
                     )
                 )
@@ -279,24 +286,27 @@ class BatchAligner:
                 num_tiles = dirs.shape[0]
                 per_tile = int(np.prod(dirs.shape[1:]))
                 group = max(1, ((1 << 31) - 1) // per_tile)
-                parts = ([], [], [])
+                parts = ([], [], [], [])
                 for g0 in range(0, num_tiles, group):
                     g1 = min(g0 + group, num_tiles)
                     lo, hi = g0 * tile_pairs, g1 * tile_pairs
-                    pk, ln, _, fj = batch_device_traceback(
+                    pk, ln, fi, fj = batch_device_traceback(
                         dirs[g0:g1], ns_s[lo:hi], ms_s[lo:hi],
                         bis[lo:hi], bjs[lo:hi],
                         local=self.local, semi=self.semi,
                         max_len=max_len,
+                        dirs2=dirs2[g0:g1] if affine else None,
                     )
                     parts[0].append(pk)
                     parts[1].append(ln)
                     parts[2].append(fj)
+                    parts[3].append(fi)
                 return (
                     scores, bis, bjs,
                     jnp.concatenate(parts[0], axis=1),
                     jnp.concatenate(parts[1]),
                     jnp.concatenate(parts[2]),
+                    jnp.concatenate(parts[3]),
                 )
 
             fill_walk = jax.shard_map(
@@ -304,20 +314,21 @@ class BatchAligner:
                 mesh=mesh,
                 in_specs=(spec, spec, spec, spec, rep),
                 out_specs=(spec, spec, spec, P(None, mesh_lib.DATA_AXIS),
-                           spec, spec),
+                           spec, spec, spec),
                 check_vma=False,
             )
-            scores, bis, bjs, packed, lens, j_fin = fill_walk(
+            scores, bis, bjs, packed, lens, j_fin, i_fin = fill_walk(
                 jnp.asarray(t_arr), jnp.asarray(p_arr),
                 jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
             )
-            scores, packed, lens, j_fin, bis_np, bjs_np = jax.device_get(
-                (scores, packed, lens, j_fin, bis, bjs)
+            (scores, packed, lens, j_fin, i_fin, bis_np,
+             bjs_np) = jax.device_get(
+                (scores, packed, lens, j_fin, i_fin, bis, bjs)
             )
             packed = np.asarray(packed)
-            # Replay each pair's move list through the native emitter —
-            # the same path (and cursor semantics) the checkpointed
-            # engine uses.
+            # Replay each pair's move list through the same emitters the
+            # checkpointed engine uses (native for linear, the
+            # quirk-free numpy replay for affine).
             for row, i in enumerate(idx):
                 ln = int(lens[row])
                 mv = unpack_batch_moves(packed, ln, row)
@@ -325,10 +336,16 @@ class BatchAligner:
                     start_i, start_j = int(bis_np[row]), int(bjs_np[row])
                 else:
                     start_i, start_j = int(ms[row]), int(ns[row])
-                at, ap, st, sp = bindings.emit_moves(
-                    mv, start_i, start_j, self.local,
-                    texts[i], patterns[i], k_alpha,
-                )
+                if affine:
+                    at, ap, st, sp = emit_moves_affine(
+                        mv, start_i, start_j,
+                        texts[i], patterns[i], k_alpha,
+                    )
+                else:
+                    at, ap, st, sp = bindings.emit_moves(
+                        mv, start_i, start_j, self.local,
+                        texts[i], patterns[i], k_alpha,
+                    )
                 if self.semi:
                     st, sp = int(j_fin[row]), 0
                 results[i] = AlignmentResult(

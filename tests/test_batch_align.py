@@ -94,6 +94,28 @@ def test_batch_align_protein_and_gap_grid():
             ) == (ost, osp)
 
 
+@pytest.mark.parametrize("local", [False, True])
+def test_batch_align_affine_matches_oracle(local):
+    # Affine (Gotoh) batched end-to-end: dirs + continuation bitplane +
+    # three-state lockstep walk vs sa_align_affine, per pair.
+    rng = np.random.default_rng(25)
+    sm = _dna_sm()
+    texts, patterns = _random_pairs(rng, 10)
+    aligner = BatchAligner(sm, 4, 6, local=local, gap_extend=2)
+    results = aligner.align(texts, patterns)
+    for t, p, r in zip(texts, patterns, results):
+        oat, oap, ost, osp, oscore = bindings.oracle_align_affine(
+            1 if local else 0, t.astype(np.int8), p.astype(np.int8),
+            sm, 4, 6, 2,
+        )
+        assert r.score == oscore, (t.shape, p.shape)
+        np.testing.assert_array_equal(r.aligned_text, oat)
+        np.testing.assert_array_equal(r.aligned_pattern, oap)
+        assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
+            ost, osp,
+        )
+
+
 def test_batch_align_sw_no_match():
     # All-mismatch local pairs: score 0, empty alignment, (-1, -1).
     sm = np.full((4, 4), -4, dtype=np.int32)
