@@ -84,14 +84,22 @@ class PairAligner:
             # Too long for one streamed dispatch.  With a multi-device
             # mesh, split the pair's column strips across devices
             # (sequence parallelism, parallel/sequence.py) while the
-            # words still fit host RAM; otherwise (or beyond that) the
-            # checkpointed engine (boundary checkpoints + path-only
-            # traceback re-fill, ops/checkpoint.py).
+            # words still fit host RAM; otherwise prefer the
+            # one-dispatch direct path (fill + device best-cell merge +
+            # in-kernel walk) and fall back to the checkpointed engine
+            # (boundary checkpoints + path-only traceback re-fill,
+            # ops/checkpoint.py) beyond its strip/SMEM limits.
+            from ..ops import direct
+
             if (
                 config.sequence_parallel()
                 and words_bytes <= config.MAX_DIRS_BYTES
             ):
                 return self._align_sequence_parallel(
+                    text, pattern, sm, alphabet_size, gap_penalty
+                )
+            if direct.fits_direct(text.shape[0], pattern.shape[0]):
+                return self._align_direct(
                     text, pattern, sm, alphabet_size, gap_penalty
                 )
             return self._align_checkpoint(
@@ -134,6 +142,30 @@ class PairAligner:
             bindings.traceback_packed(
                 1 if self.local else 0, words, text, pattern,
                 alphabet_size, best_i=bi, best_j=bj,
+            )
+        )
+        return AlignmentResult(
+            aligned_text=aligned_text,
+            aligned_pattern=aligned_pattern,
+            start_in_aligned_text=start_t,
+            start_in_aligned_pattern=start_p,
+            score=score,
+        )
+
+    def _align_direct(self, text, pattern, score_matrix, alphabet_size,
+                      gap_penalty, gap_extend=None):
+        """One-dispatch path: strip fill + device best-cell merge +
+        in-kernel walk (ops/direct.py); only score/cell/packed moves
+        return to the host."""
+        from ..ops import direct
+
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
+            direct.direct_align(
+                np.asarray(text, dtype=np.int32),
+                np.asarray(pattern, dtype=np.int32),
+                sm, alphabet_size, gap_penalty, local=self.local,
+                gap_extend=gap_extend,
             )
         )
         return AlignmentResult(
@@ -228,11 +260,20 @@ class PairAligner:
     def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty,
               gap_extend=None):
         if gap_extend is not None:
-            # Affine (Gotoh, extension): the checkpointed wavefront
-            # engine is the accelerator path at every size; the portable
-            # XLA engine has no affine traceback, so non-Pallas backends
-            # use the native oracle.
+            # Affine (Gotoh, extension): one-dispatch direct path when
+            # the pair fits a strip, else the checkpointed wavefront
+            # engine; the portable XLA engine has no affine traceback,
+            # so non-Pallas backends use the native oracle.
             if config.use_pallas():
+                from ..ops import direct
+
+                n = int(np.asarray(text).shape[0])
+                m = int(np.asarray(pattern).shape[0])
+                if direct.fits_direct(n, m, affine=True):
+                    return self._align_direct(
+                        text, pattern, score_matrix, alphabet_size,
+                        gap_penalty, gap_extend=gap_extend,
+                    )
                 return self._align_checkpoint(
                     text, pattern, score_matrix, alphabet_size,
                     gap_penalty, gap_extend=gap_extend,

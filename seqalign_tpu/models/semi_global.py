@@ -32,14 +32,29 @@ class SemiGlobal(PairAligner):
 
     def _align_checkpoint_semi(self, text, pattern, score_matrix,
                                alphabet_size, gap_penalty):
-        from ..ops import checkpoint
+        from ..ops import checkpoint, direct
 
         sm = self._score_matrix(score_matrix, alphabet_size)
+        text = np.asarray(text, dtype=np.int32)
+        pattern = np.asarray(pattern, dtype=np.int32)
+        if direct.fits_direct(text.shape[0], pattern.shape[0]):
+            # One-dispatch path (fill + device best-of-last-row + walk).
+            score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
+                direct.direct_align(
+                    text, pattern, sm, alphabet_size, gap_penalty,
+                    semi=True,
+                )
+            )
+            return AlignmentResult(
+                aligned_text=aligned_text,
+                aligned_pattern=aligned_pattern,
+                start_in_aligned_text=start_t,
+                start_in_aligned_pattern=start_p,
+                score=score,
+            )
         score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
             checkpoint.checkpointed_align(
-                np.asarray(text, dtype=np.int32),
-                np.asarray(pattern, dtype=np.int32),
-                sm, alphabet_size, gap_penalty, semi=True,
+                text, pattern, sm, alphabet_size, gap_penalty, semi=True,
             )
         )
         return AlignmentResult(
