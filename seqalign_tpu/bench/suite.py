@@ -60,10 +60,10 @@ def _pair_fill_seconds(n, m, local, rng, sm) -> float:
 
     from ..ops import wavefront as wf
 
-    from ..ops import checkpoint
+    from ..ops import direct
 
     text = _random_protein(rng, n)
-    rps, slots = checkpoint._pick_geometry(m, None, None)
+    rps, slots = direct._direct_geometry(m)
     steps_pad = -(-(n + slots - 1) // wf.STEPS) * wf.STEPS
     nb = steps_pad // wf.STEPS
     ts = jnp.asarray(
@@ -417,6 +417,30 @@ def cmd_engines(args) -> None:
     strips = -(-m // (rps_w * slots_w))
     total = sec * strips
     print(f"wavefront 4096-slot:  {total * 1e3:9.1f} ms  "
+          f"{cells / total / 1e6:9.0f} MCUPS", flush=True)
+
+    # Deep-strip wavefront (65536-row strips, the round-2 default for
+    # long patterns) — the full engine lineage in one table.
+    rps_d, slots_d = 16, 4096
+    patd = np.zeros(rps_d * slots_d, np.int32)
+    patd[:m] = pattern[: rps_d * slots_d]
+    pd = jnp.asarray(
+        np.ascontiguousarray(patd.reshape(slots_d, rps_d).T)
+        .reshape(rps_d, slots_d // 128, 128)
+    )
+
+    def deep_call(perturb):
+        outs = wavefront.wavefront_strip(
+            tsw, botw, pd, jnp.asarray(sm_np), 5 + perturb, n, m, 0,
+            k_alpha=4, local=True, with_dirs=True, rps=rps_d,
+            slots=slots_d,
+        )
+        return outs[2]
+
+    sec = device_seconds_per_call(deep_call, reps=3)
+    strips = -(-m // (rps_d * slots_d))
+    total = sec * strips
+    print(f"wavefront deep-strip: {total * 1e3:9.1f} ms  "
           f"{cells / total / 1e6:9.0f} MCUPS", flush=True)
 
 
