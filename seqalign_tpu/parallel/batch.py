@@ -63,6 +63,11 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
     return fn(texts, patterns, ns, ms, score_matrix)
 
 
+# Flat-index budget of one batched-walker call (int32 gather space);
+# tests shrink it to force multi-group walks.
+WALK_INDEX_CAP = (1 << 31) - 1
+
+
 @dataclasses.dataclass
 class _Bucket:
     indices: list
@@ -285,7 +290,7 @@ class BatchAligner:
                 # (big-pair batches span multiple tiles).
                 num_tiles = dirs.shape[0]
                 per_tile = int(np.prod(dirs.shape[1:]))
-                group = max(1, ((1 << 31) - 1) // per_tile)
+                group = max(1, WALK_INDEX_CAP // per_tile)
                 parts = ([], [], [], [])
                 for g0 in range(0, num_tiles, group):
                     g1 = min(g0 + group, num_tiles)

@@ -134,6 +134,27 @@ def test_batch_align_sw_no_match():
         )
 
 
+def test_batch_align_multigroup_walk(monkeypatch):
+    # Force the int32-index chunking: several tiles per shard, walked in
+    # separate groups, must reassemble into identical results.
+    from seqalign_tpu.parallel import batch as batch_mod
+
+    monkeypatch.setattr(batch_mod, "WALK_INDEX_CAP", 1)
+    rng = np.random.default_rng(27)
+    sm = _dna_sm()
+    texts, patterns = _random_pairs(rng, 2050, n_hi=14, m_hi=12)
+    results = BatchAligner(sm, 4, 3).align(texts, patterns)
+    for t, p, r in zip(texts[::97], patterns[::97], results[::97]):
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            0, t.astype(np.int8), p.astype(np.int8), sm, 4, 3
+        )
+        assert r.score == oscore
+        np.testing.assert_array_equal(r.aligned_text, oat)
+        assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
+            ost, osp,
+        )
+
+
 def test_batch_align_xla_fallback(monkeypatch):
     # Engine forced off Pallas: align() falls back to the oracle per pair.
     monkeypatch.setenv("SEQALIGN_ENGINE", "xla")
