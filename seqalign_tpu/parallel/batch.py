@@ -175,20 +175,21 @@ class BatchAligner:
         return out
 
     @staticmethod
-    def _dirs_tile_pairs(n_pad: int, m_pad: int) -> int:
-        """Pairs per grid step of the dirs-emitting kernel, sized so the
-        ~4 (n_pad x tile_pairs) int32 VMEM buffers stay inside the lifted
-        scoped-VMEM budget AND one tile's direction words stay under
-        2^30 elements (the batched walker's flat int32 index space)."""
-        words_per_pair = (m_pad // 16) * n_pad
+    def _dirs_tile_pairs(n_pad: int, m_pad: int, b: int,
+                         d_count: int) -> int:
+        """Pairs per grid step of the dirs-emitting kernel: as large as
+        the ~3 (n_pad x tile_pairs) int32 VMEM buffers allow (measured:
+        512 pairs at 8192^2 compiles and quadruples fill throughput over
+        128 — the chain latency amortizes over more pairs), without
+        padding a small batch far past its own size."""
         t = 128
-        while (
-            t < 2048
-            and 16 * n_pad * (t * 2) <= 64 * 1024 * 1024
-            and words_per_pair * (t * 2) <= 1 << 30
-        ):
+        while t < 4096 and 12 * n_pad * (t * 2) <= 80 * 1024 * 1024:
             t *= 2
-        return t
+        # Don't pad a small batch to a huge tile: cap near the per-shard
+        # batch size (rounded up to the 128-slot quantum).
+        per_shard = -(-b // d_count)
+        cap = max(128, -(-per_shard // 128) * 128)
+        return min(t, cap)
 
     def align(self, texts: Sequence[np.ndarray],
               patterns: Sequence[np.ndarray]) -> list:
@@ -253,9 +254,9 @@ class BatchAligner:
         spec = P(mesh_lib.DATA_AXIS)
         rep = P()
         for (n_pad, m_pad), idx in sorted(groups.items()):
-            tile_pairs = self._dirs_tile_pairs(n_pad, m_pad)
-            quantum = tile_pairs * d_count
             b = len(idx)
+            tile_pairs = self._dirs_tile_pairs(n_pad, m_pad, b, d_count)
+            quantum = tile_pairs * d_count
             b_pad = max(quantum, -(-b // quantum) * quantum)
             t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
             p_arr = np.zeros((b_pad, m_pad), dtype=np.int32)
@@ -286,26 +287,49 @@ class BatchAligner:
                     bis = jnp.where(matched, bis, 0)
                     bjs = jnp.where(matched, bjs, 0)
                 # The walker's flat gather index is int32: walk in
-                # whole-tile groups whose words stay under 2^31 elements
-                # (big-pair batches span multiple tiles).
-                num_tiles = dirs.shape[0]
-                per_tile = int(np.prod(dirs.shape[1:]))
-                group = max(1, WALK_INDEX_CAP // per_tile)
+                # chunks whose words stay under the index budget —
+                # whole-tile groups normally, sub_rows slices of one
+                # tile when even a single tile exceeds it (the pair
+                # layout is slot-major, so a sub_rows slice is a
+                # contiguous pair range).
+                num_tiles, w_rows_, n_cols_, sub_rows_, _ = dirs.shape
+                per_sub = w_rows_ * n_cols_ * 128
+                per_tile = per_sub * sub_rows_
                 parts = ([], [], [], [])
-                for g0 in range(0, num_tiles, group):
-                    g1 = min(g0 + group, num_tiles)
-                    lo, hi = g0 * tile_pairs, g1 * tile_pairs
+
+                def walk(d_slice, d2_slice, lo, hi):
                     pk, ln, fi, fj = batch_device_traceback(
-                        dirs[g0:g1], ns_s[lo:hi], ms_s[lo:hi],
+                        d_slice, ns_s[lo:hi], ms_s[lo:hi],
                         bis[lo:hi], bjs[lo:hi],
                         local=self.local, semi=self.semi,
-                        max_len=max_len,
-                        dirs2=dirs2[g0:g1] if affine else None,
+                        max_len=max_len, dirs2=d2_slice,
                     )
                     parts[0].append(pk)
                     parts[1].append(ln)
                     parts[2].append(fj)
                     parts[3].append(fi)
+
+                if per_tile <= WALK_INDEX_CAP:
+                    group = max(1, WALK_INDEX_CAP // per_tile)
+                    for g0 in range(0, num_tiles, group):
+                        g1 = min(g0 + group, num_tiles)
+                        walk(
+                            dirs[g0:g1],
+                            dirs2[g0:g1] if affine else None,
+                            g0 * tile_pairs, g1 * tile_pairs,
+                        )
+                else:
+                    sub_chunk = max(1, WALK_INDEX_CAP // per_sub)
+                    for t in range(num_tiles):
+                        for s0 in range(0, sub_rows_, sub_chunk):
+                            s1 = min(s0 + sub_chunk, sub_rows_)
+                            lo = t * tile_pairs + s0 * 128
+                            walk(
+                                dirs[t : t + 1, :, :, s0:s1],
+                                dirs2[t : t + 1, :, :, s0:s1]
+                                if affine else None,
+                                lo, lo + (s1 - s0) * 128,
+                            )
                 return (
                     scores, bis, bjs,
                     jnp.concatenate(parts[0], axis=1),
