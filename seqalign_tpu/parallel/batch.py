@@ -67,6 +67,10 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
 # tests shrink it to force multi-group walks.
 WALK_INDEX_CAP = (1 << 31) - 1
 
+# HBM budget for one fill+walk dispatch's direction words (per device);
+# buckets of big pairs are processed in sub-batches under it.
+DIRS_HBM_BUDGET = 2 << 30
+
 
 @dataclasses.dataclass
 class _Bucket:
@@ -182,8 +186,17 @@ class BatchAligner:
         512 pairs at 8192^2 compiles and quadruples fill throughput over
         128 — the chain latency amortizes over more pairs), without
         padding a small batch far past its own size."""
+        words_bytes = (m_pad // 16) * n_pad * 4
         t = 128
-        while t < 4096 and 12 * n_pad * (t * 2) <= 80 * 1024 * 1024:
+        # Bounds: ~3 (n_pad x t) int32 VMEM buffers; 4096-pair tiles
+        # regress badly (measured 10x at 512^2 — VMEM pressure stalls
+        # the pipeline); and a tile's direction words must fit the HBM
+        # dispatch budget (16.8 MB/pair at 8192^2).
+        while (
+            t < 2048
+            and 12 * n_pad * (t * 2) <= 80 * 1024 * 1024
+            and words_bytes * (t * 2) <= DIRS_HBM_BUDGET
+        ):
             t *= 2
         # Don't pad a small batch to a huge tile: cap near the per-shard
         # batch size (rounded up to the 128-slot quantum).
@@ -253,135 +266,172 @@ class BatchAligner:
         d_count = mesh.size
         spec = P(mesh_lib.DATA_AXIS)
         rep = P()
-        for (n_pad, m_pad), idx in sorted(groups.items()):
-            b = len(idx)
-            tile_pairs = self._dirs_tile_pairs(n_pad, m_pad, b, d_count)
+        for (n_pad, m_pad), full_idx in sorted(groups.items()):
+            tile_pairs = self._dirs_tile_pairs(
+                n_pad, m_pad, len(full_idx), d_count
+            )
             quantum = tile_pairs * d_count
-            b_pad = max(quantum, -(-b // quantum) * quantum)
-            t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
-            p_arr = np.zeros((b_pad, m_pad), dtype=np.int32)
-            ns = np.zeros(b_pad, dtype=np.int32)
-            ms = np.zeros(b_pad, dtype=np.int32)
-            for row, i in enumerate(idx):
-                t, p = texts[i], patterns[i]
-                t_arr[row, : t.shape[0]] = t
-                p_arr[row, : p.shape[0]] = p
-                ns[row], ms[row] = t.shape[0], p.shape[0]
-            max_len = -(-(n_pad + m_pad) // 16) * 16
-
-            def shard(t_s, p_s, ns_s, ms_s, sm):
-                # Fill + lockstep walk of this device's pair shard.
-                scores, bis, bjs, dirs, dirs2 = (
-                    pallas_fill.batch_fill_dirs_pallas(
-                        t_s, p_s, ns_s, ms_s, sm, self.gap_penalty,
-                        k_alpha=k_alpha, local=self.local,
-                        semi=self.semi, tile_pairs=tile_pairs,
-                        gap_extend=self.gap_extend,
-                        interpret=interpret,
-                    )
+            # One dispatch's direction words must fit HBM (16.8 MB/pair
+            # at 8192^2): big-pair buckets run in sub-batches.
+            words_bytes = (m_pad // 16) * n_pad * 4
+            per_dev = max(
+                tile_pairs,
+                DIRS_HBM_BUDGET // words_bytes // tile_pairs * tile_pairs,
+            )
+            chunk = per_dev * d_count
+            idx_chunks = [
+                full_idx[c0 : c0 + chunk]
+                for c0 in range(0, len(full_idx), chunk)
+            ]
+            for idx in idx_chunks:
+                self._align_bucket(
+                    idx, n_pad, m_pad, tile_pairs, quantum, texts,
+                    patterns, results, affine, interpret, k_alpha,
                 )
-                if self.local:
-                    # No-match pairs (best <= 0): empty alignment with
-                    # the reference's cursor sentinels (maxIJ stays 0).
-                    matched = scores > 0
-                    bis = jnp.where(matched, bis, 0)
-                    bjs = jnp.where(matched, bjs, 0)
-                # The walker's flat gather index is int32: walk in
-                # chunks whose words stay under the index budget —
-                # whole-tile groups normally, sub_rows slices of one
-                # tile when even a single tile exceeds it (the pair
-                # layout is slot-major, so a sub_rows slice is a
-                # contiguous pair range).
-                num_tiles, w_rows_, n_cols_, sub_rows_, _ = dirs.shape
-                per_sub = w_rows_ * n_cols_ * 128
-                per_tile = per_sub * sub_rows_
-                parts = ([], [], [], [])
+        return results
 
-                def walk(d_slice, d2_slice, lo, hi):
-                    pk, ln, fi, fj = batch_device_traceback(
-                        d_slice, ns_s[lo:hi], ms_s[lo:hi],
-                        bis[lo:hi], bjs[lo:hi],
-                        local=self.local, semi=self.semi,
-                        max_len=max_len, dirs2=d2_slice,
+    def _align_bucket(self, idx, n_pad, m_pad, tile_pairs, quantum,
+                      texts, patterns, results, affine, interpret,
+                      k_alpha):
+        """Fill + walk + emit one HBM-sized sub-batch of a size bucket."""
+        from ..models.base import AlignmentResult
+        from ..native import bindings
+        from ..ops.batch_traceback import (
+            batch_device_traceback,
+            unpack_batch_moves,
+        )
+        from ..ops.traceback import emit_moves_affine
+
+        mesh = self.mesh
+        d_count = mesh.size
+        spec = P(mesh_lib.DATA_AXIS)
+        rep = P()
+        b = len(idx)
+        b_pad = max(quantum, -(-b // quantum) * quantum)
+        t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
+        p_arr = np.zeros((b_pad, m_pad), dtype=np.int32)
+        ns = np.zeros(b_pad, dtype=np.int32)
+        ms = np.zeros(b_pad, dtype=np.int32)
+        for row, i in enumerate(idx):
+            t, p = texts[i], patterns[i]
+            t_arr[row, : t.shape[0]] = t
+            p_arr[row, : p.shape[0]] = p
+            ns[row], ms[row] = t.shape[0], p.shape[0]
+        max_len = -(-(n_pad + m_pad) // 16) * 16
+
+        def shard(t_s, p_s, ns_s, ms_s, sm):
+            # Fill + lockstep walk of this device's pair shard.
+            scores, bis, bjs, dirs, dirs2 = (
+                pallas_fill.batch_fill_dirs_pallas(
+                    t_s, p_s, ns_s, ms_s, sm, self.gap_penalty,
+                    k_alpha=k_alpha, local=self.local,
+                    semi=self.semi, tile_pairs=tile_pairs,
+                    gap_extend=self.gap_extend,
+                    interpret=interpret,
+                )
+            )
+            if self.local:
+                # No-match pairs (best <= 0): empty alignment with
+                # the reference's cursor sentinels (maxIJ stays 0).
+                matched = scores > 0
+                bis = jnp.where(matched, bis, 0)
+                bjs = jnp.where(matched, bjs, 0)
+            # The walker's flat gather index is int32: walk in
+            # chunks whose words stay under the index budget —
+            # whole-tile groups normally, sub_rows slices of one
+            # tile when even a single tile exceeds it (the pair
+            # layout is slot-major, so a sub_rows slice is a
+            # contiguous pair range).
+            num_tiles, w_rows_, n_cols_, sub_rows_, _ = dirs.shape
+            per_sub = w_rows_ * n_cols_ * 128
+            per_tile = per_sub * sub_rows_
+            parts = ([], [], [], [])
+
+            def walk(d_slice, d2_slice, lo, hi):
+                pk, ln, fi, fj = batch_device_traceback(
+                    d_slice, ns_s[lo:hi], ms_s[lo:hi],
+                    bis[lo:hi], bjs[lo:hi],
+                    local=self.local, semi=self.semi,
+                    max_len=max_len, dirs2=d2_slice,
+                )
+                parts[0].append(pk)
+                parts[1].append(ln)
+                parts[2].append(fj)
+                parts[3].append(fi)
+
+            if per_tile <= WALK_INDEX_CAP:
+                group = max(1, WALK_INDEX_CAP // per_tile)
+                for g0 in range(0, num_tiles, group):
+                    g1 = min(g0 + group, num_tiles)
+                    walk(
+                        dirs[g0:g1],
+                        dirs2[g0:g1] if affine else None,
+                        g0 * tile_pairs, g1 * tile_pairs,
                     )
-                    parts[0].append(pk)
-                    parts[1].append(ln)
-                    parts[2].append(fj)
-                    parts[3].append(fi)
-
-                if per_tile <= WALK_INDEX_CAP:
-                    group = max(1, WALK_INDEX_CAP // per_tile)
-                    for g0 in range(0, num_tiles, group):
-                        g1 = min(g0 + group, num_tiles)
+            else:
+                sub_chunk = max(1, WALK_INDEX_CAP // per_sub)
+                for t in range(num_tiles):
+                    for s0 in range(0, sub_rows_, sub_chunk):
+                        s1 = min(s0 + sub_chunk, sub_rows_)
+                        lo = t * tile_pairs + s0 * 128
                         walk(
-                            dirs[g0:g1],
-                            dirs2[g0:g1] if affine else None,
-                            g0 * tile_pairs, g1 * tile_pairs,
+                            dirs[t : t + 1, :, :, s0:s1],
+                            dirs2[t : t + 1, :, :, s0:s1]
+                            if affine else None,
+                            lo, lo + (s1 - s0) * 128,
                         )
-                else:
-                    sub_chunk = max(1, WALK_INDEX_CAP // per_sub)
-                    for t in range(num_tiles):
-                        for s0 in range(0, sub_rows_, sub_chunk):
-                            s1 = min(s0 + sub_chunk, sub_rows_)
-                            lo = t * tile_pairs + s0 * 128
-                            walk(
-                                dirs[t : t + 1, :, :, s0:s1],
-                                dirs2[t : t + 1, :, :, s0:s1]
-                                if affine else None,
-                                lo, lo + (s1 - s0) * 128,
-                            )
-                return (
-                    scores, bis, bjs,
-                    jnp.concatenate(parts[0], axis=1),
-                    jnp.concatenate(parts[1]),
-                    jnp.concatenate(parts[2]),
-                    jnp.concatenate(parts[3]),
-                )
+            return (
+                scores, bis, bjs,
+                jnp.concatenate(parts[0], axis=1),
+                jnp.concatenate(parts[1]),
+                jnp.concatenate(parts[2]),
+                jnp.concatenate(parts[3]),
+            )
 
-            fill_walk = jax.shard_map(
-                shard,
-                mesh=mesh,
-                in_specs=(spec, spec, spec, spec, rep),
-                out_specs=(spec, spec, spec, P(None, mesh_lib.DATA_AXIS),
-                           spec, spec, spec),
-                check_vma=False,
-            )
-            scores, bis, bjs, packed, lens, j_fin, i_fin = fill_walk(
-                jnp.asarray(t_arr), jnp.asarray(p_arr),
-                jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
-            )
-            (scores, packed, lens, j_fin, i_fin, bis_np,
-             bjs_np) = jax.device_get(
-                (scores, packed, lens, j_fin, i_fin, bis, bjs)
-            )
-            packed = np.asarray(packed)
-            # Replay each pair's move list through the same emitters the
-            # checkpointed engine uses (native for linear, the
-            # quirk-free numpy replay for affine).
-            for row, i in enumerate(idx):
-                ln = int(lens[row])
-                mv = unpack_batch_moves(packed, ln, row)
-                if self.local or self.semi:
-                    start_i, start_j = int(bis_np[row]), int(bjs_np[row])
-                else:
-                    start_i, start_j = int(ms[row]), int(ns[row])
-                if affine:
-                    at, ap, st, sp = emit_moves_affine(
-                        mv, start_i, start_j,
-                        texts[i], patterns[i], k_alpha,
-                    )
-                else:
-                    at, ap, st, sp = bindings.emit_moves(
-                        mv, start_i, start_j, self.local,
-                        texts[i], patterns[i], k_alpha,
-                    )
-                if self.semi:
-                    st, sp = int(j_fin[row]), 0
-                results[i] = AlignmentResult(
-                    aligned_text=at,
-                    aligned_pattern=ap,
-                    start_in_aligned_text=st,
-                    start_in_aligned_pattern=sp,
-                    score=int(scores[row]),
+        fill_walk = jax.shard_map(
+            shard,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, rep),
+            out_specs=(spec, spec, spec, P(None, mesh_lib.DATA_AXIS),
+                       spec, spec, spec),
+            check_vma=False,
+        )
+        scores, bis, bjs, packed, lens, j_fin, i_fin = fill_walk(
+            jnp.asarray(t_arr), jnp.asarray(p_arr),
+            jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
+        )
+        (scores, packed, lens, j_fin, i_fin, bis_np,
+         bjs_np) = jax.device_get(
+            (scores, packed, lens, j_fin, i_fin, bis, bjs)
+        )
+        packed = np.asarray(packed)
+        # Replay each pair's move list through the same emitters the
+        # checkpointed engine uses (native for linear, the
+        # quirk-free numpy replay for affine).
+        for row, i in enumerate(idx):
+            ln = int(lens[row])
+            mv = unpack_batch_moves(packed, ln, row)
+            if self.local or self.semi:
+                start_i, start_j = int(bis_np[row]), int(bjs_np[row])
+            else:
+                start_i, start_j = int(ms[row]), int(ns[row])
+            if affine:
+                at, ap, st, sp = emit_moves_affine(
+                    mv, start_i, start_j,
+                    texts[i], patterns[i], k_alpha,
                 )
+            else:
+                at, ap, st, sp = bindings.emit_moves(
+                    mv, start_i, start_j, self.local,
+                    texts[i], patterns[i], k_alpha,
+                )
+            if self.semi:
+                st, sp = int(j_fin[row]), 0
+            results[i] = AlignmentResult(
+                aligned_text=at,
+                aligned_pattern=ap,
+                start_in_aligned_text=st,
+                start_in_aligned_pattern=sp,
+                score=int(scores[row]),
+            )
         return results
