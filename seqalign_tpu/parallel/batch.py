@@ -222,11 +222,6 @@ class BatchAligner:
         """
         from ..models.base import AlignmentResult
         from ..native import bindings
-        from ..ops.batch_traceback import (
-            batch_device_traceback,
-            unpack_batch_moves,
-        )
-        from ..ops.traceback import emit_moves_affine
 
         affine = self.gap_extend is not None
         texts = [np.asarray(t, dtype=np.int32) for t in texts]
