@@ -9,6 +9,19 @@ Baseline: the reference's best single-chip fill throughput, 14,354 MCUPS
 (Smith-Waterman 16384x32768 on a V100-SXM2,
 reference tests/benchmarkResults/benchmark_throughput_tesla.out:64-66).
 
+Robustness: Mosaic kernel compiles go through a remote AOT helper that
+can take many minutes cold (round 2's driver run timed out on exactly
+this), so this script is a WATCHDOG ORCHESTRATOR: each candidate
+configuration is measured in a subprocess with a hard deadline, falling
+back from the fastest geometry (4096 pairs/grid-step) to a smaller one
+and finally to a pure-XLA engine that never needs a Mosaic compile.
+The first candidate to finish wins.  All candidates share the
+persistent compile cache, and the timing harness compiles ONE
+executable per candidate (traced repeat count, bench/timing.py).
+
+  python bench.py          # headline run (watchdog + fallbacks)
+  python bench.py --warm   # precompile every candidate into the cache
+
 Timing protocol: the fill is repeated inside one jitted fori_loop with a
 data dependency between iterations, so the measurement excludes the
 host<->device round-trip latency and compile time (the reference's
@@ -18,17 +31,34 @@ direction bits from device memory).
 """
 
 import json
+import os
+import signal
+import subprocess
 import sys
 
-import numpy as np
+BASELINE_GCUPS = 14.354
+CACHE_DIR = "/tmp/jax_comp_cache"
+
+# (name, deadline_seconds).  Deadlines are sized so a fully cold Mosaic
+# compile (~3-6 min via the remote AOT helper) still fits, while a
+# pathological compile can't eat the driver's whole window; the XLA
+# fallback compiles locally in under a minute.
+CANDIDATES = (
+    ("tile4096", 780),
+    ("tile1024", 600),
+    ("xla", 360),
+)
 
 
-def main() -> None:
+def _measure(name: str) -> None:
+    """Child process: measure one candidate, print the JSON line."""
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
-    try:  # persistent compile cache (best-effort; remote AOT may bypass)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    try:  # persistent compile cache (best-effort)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     except Exception:
         pass
 
@@ -37,12 +67,11 @@ def main() -> None:
     maybe_initialize_distributed()  # no-op single-host
 
     from seqalign_tpu.bench.timing import device_seconds_per_call
-    from seqalign_tpu.ops.pallas_fill import batch_score_pallas
 
     rng = np.random.default_rng(42)
 
-    # 2.1 Gcell workload: 8192 DNA pairs of 512x512 through the inter-pair
-    # Pallas kernel (4096 pairs per grid step, one pair per vector slot).
+    # 2.1 Gcell workload: 8192 DNA pairs of 512x512, one pair per vector
+    # slot of the inter-pair Pallas kernel (xla: vmapped scan engine).
     b, n, m = 8192, 512, 512
     sm = jnp.asarray(np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32))
     texts = jnp.asarray(rng.integers(0, 4, (b, n)), jnp.int32)
@@ -50,18 +79,35 @@ def main() -> None:
     ns = jnp.full((b,), n, jnp.int32)
     ms = jnp.full((b,), m, jnp.int32)
 
-    def call(perturb):
-        return batch_score_pallas(
-            texts, patterns, ns, ms, sm, 5 + perturb, k_alpha=4, local=True
-        )
+    if name == "xla":
+        from seqalign_tpu.ops.batch import batch_score
 
-    per_batch = device_seconds_per_call(call, reps=16, timings=5)
+        def call(perturb):
+            return batch_score(
+                texts, patterns, ns, ms, sm, 5 + perturb, local=True
+            )
+
+        reps = 4
+    else:
+        from seqalign_tpu.ops.pallas_fill import batch_score_pallas
+
+        tile_pairs = {"tile4096": 4096, "tile1024": 1024}[name]
+
+        def call(perturb):
+            return batch_score_pallas(
+                texts, patterns, ns, ms, sm, 5 + perturb,
+                k_alpha=4, local=True, tile_pairs=tile_pairs,
+            )
+
+        reps = 16
+
+    per_batch = device_seconds_per_call(call, reps=reps, timings=5)
 
     cells = b * n * m
     gcups = cells / per_batch / 1e9
     pairs_per_s = b / per_batch
     print(
-        f"[bench] {b} pairs {n}x{m}: {per_batch * 1e3:.1f} ms/batch, "
+        f"[bench:{name}] {b} pairs {n}x{m}: {per_batch * 1e3:.1f} ms/batch, "
         f"{pairs_per_s:,.0f} pairs/s, {gcups:.2f} GCUPS",
         file=sys.stderr,
     )
@@ -71,10 +117,72 @@ def main() -> None:
                 "metric": "sw_batch_fill",
                 "value": round(gcups, 3),
                 "unit": "GCUPS",
-                "vs_baseline": round(gcups / 14.354, 4),
+                "vs_baseline": round(gcups / BASELINE_GCUPS, 4),
             }
         )
     )
+
+
+def _run_candidate(name: str, deadline: float) -> str | None:
+    """Run one candidate in a subprocess; return its JSON line or None."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure", name],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        start_new_session=True,  # own process group for a clean kill
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        out, _ = proc.communicate(timeout=deadline)
+    except subprocess.TimeoutExpired:
+        print(
+            f"[bench] candidate {name} exceeded {deadline:.0f}s; killing",
+            file=sys.stderr,
+        )
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+        return None
+    if proc.returncode != 0:
+        print(
+            f"[bench] candidate {name} exited rc={proc.returncode}",
+            file=sys.stderr,
+        )
+        return None
+    for line in reversed(out.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            return line
+    return None
+
+
+def main() -> None:
+    if "--measure" in sys.argv:
+        _measure(sys.argv[sys.argv.index("--measure") + 1])
+        return
+
+    if "--warm" in sys.argv:
+        # Populate the persistent compile cache for every candidate so a
+        # later cold headline run is executable-load-only.  Run this
+        # after ANY edit that touches the measured kernels or harness.
+        for name, _ in CANDIDATES:
+            print(f"[bench] warming {name} ...", file=sys.stderr)
+            line = _run_candidate(name, deadline=2400)
+            print(f"[bench] warmed {name}: {line}", file=sys.stderr)
+        return
+
+    forced = os.environ.get("SEQALIGN_BENCH_CANDIDATE")
+    order = [c for c in CANDIDATES if forced is None or c[0] == forced]
+    for name, deadline in order:
+        line = _run_candidate(name, deadline)
+        if line is not None:
+            print(line)
+            return
+    print("[bench] all candidates failed", file=sys.stderr)
+    sys.exit(1)
 
 
 if __name__ == "__main__":
