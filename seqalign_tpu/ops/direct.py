@@ -16,6 +16,7 @@ checkpointed engine (ops/checkpoint.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +32,15 @@ from .traceback import emit_moves_affine
 _INT = jnp.int32
 _LEFT, _TOP = 0, 2
 
-# SMEM cap for the walker's packed-move output: ~32 KiB of packed words
-# (24 KiB validated on hardware; 65536^2 needs 131073 moves).
-MAX_DIRECT_MOVES = 131264
-# HBM budget for the strip's direction words.
-MAX_DIRECT_DIRS_BYTES = 2 << 30
+# Cap for the walker's packed-move output, now VMEM rows (round 2's
+# SMEM output capped this at ~131k moves; the VMEM cost here is
+# moves/4 bytes = 1 MiB at the cap).
+MAX_DIRECT_MOVES = 4 << 20
+# HBM budget for the strip's direction words: pattern 65536 x text 500k
+# needs ~8.3 GB of one v5e's 16 GB; override on smaller-HBM chips.
+MAX_DIRECT_DIRS_BYTES = int(
+    os.environ.get("SEQALIGN_MAX_DIRECT_DIRS_BYTES", 10 << 30)
+)
 
 
 def _direct_geometry(m: int):

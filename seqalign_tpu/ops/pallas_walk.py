@@ -44,6 +44,7 @@ def _walker_kernel(rps: int, srows: int, groups: int, local: bool,
     res_ref = refs.pop(0)
     win_scr = refs.pop(0)
     win2_scr = refs.pop(0) if affine else None
+    acc_scr = refs.pop(0)
     sem = refs.pop(0)
     sem2 = refs.pop(0) if affine else None
 
@@ -53,6 +54,21 @@ def _walker_kernel(rps: int, srows: int, groups: int, local: bool,
     j_start = scal_ref[0, 3]
     st_start = scal_ref[0, 4]
     lane = jax.lax.broadcasted_iota(_INT, (1, 1, 128), 2)
+    lane_row = jax.lax.broadcasted_iota(_INT, (1, 128), 1)
+
+    def stash_word(kw, mvw):
+        # Move words go to a VMEM (rows, 128) output — not SMEM, whose
+        # few-KB budget capped the one-dispatch engine at ~131k moves:
+        # words accumulate into a (1, 128) lane vector (one select per
+        # 16 moves) and flush as full rows (one dynamic-sublane store
+        # per 2048 moves).
+        acc_scr[0:1, :] = jnp.where(
+            lane_row == kw % 128, mvw, acc_scr[0:1, :]
+        )
+
+        @pl.when(kw % 128 == 127)
+        def _store_row():
+            mv_ref[pl.ds(kw // 128, 1), :] = acc_scr[0:1, :]
 
     def read(win, grow, su, la):
         # Mosaic has no dynamic-lane scalar load: load the (1, 1, 128)
@@ -133,7 +149,7 @@ def _walker_kernel(rps: int, srows: int, groups: int, local: bool,
 
             @pl.when(jnp.logical_and(emit, k % 16 == 15))
             def _flush():
-                mv_ref[k // 16] = mvw
+                stash_word(k // 16, mvw)
 
             take_t = jnp.logical_and(
                 emit, jnp.logical_or(d == _DIAG, d == _LEFT)
@@ -170,10 +186,18 @@ def _walker_kernel(rps: int, srows: int, groups: int, local: bool,
          jnp.asarray(0, _INT), jnp.asarray(False)),
     )
 
-    # Flush the trailing partial move word.
+    # Flush the trailing partial move word, then the trailing acc row
+    # (idempotent when the last row was already stored in-loop).
     @pl.when(k % 16 != 0)
     def _tail():
-        mv_ref[k // 16] = mvw
+        acc_scr[0:1, :] = jnp.where(
+            lane_row == (k // 16) % 128, mvw, acc_scr[0:1, :]
+        )
+
+    @pl.when(k > 0)
+    def _tail_row():
+        kw_last = (k + 15) // 16 - 1
+        mv_ref[pl.ds(kw_last // 128, 1), :] = acc_scr[0:1, :]
 
     res_ref[0, 0] = k
     res_ref[0, 1] = i
@@ -195,14 +219,17 @@ def pallas_walk_skewed_window(words, words2, rps: int, row_lo, col_lo,
     stay in HBM; the kernel DMAs rolling windows into VMEM.
 
     Returns (packed_moves, count, i, j, state, done): packed_moves is
-    (ceil(max_moves/16),) int32 with move p at bits 2(p%16) of word
-    p//16 (unpack with unpack_moves).
+    (128*ceil(max_moves/2048),) int32 with move p at bits 2(p%16) of
+    word p//16 (unpack with unpack_moves).  Moves land in VMEM rows, so
+    max_moves is bounded by a VMEM budget (a few MB), not the SMEM cap
+    that limited round 2's one-dispatch engine to ~131k moves.
     """
     w_rows, srows, _ = words.shape
     assert rps & (rps - 1) == 0, "rps must be a power of two"
     num_groups = w_rows // rps
     groups = min(WINDOW_GROUPS, num_groups)
     mv_words = -(-max_moves // 16)
+    mv_rows = -(-mv_words // 128)
     kernel = functools.partial(
         _walker_kernel, rps, srows, groups, local, affine
     )
@@ -213,15 +240,16 @@ def pallas_walk_skewed_window(words, words2, rps: int, row_lo, col_lo,
     ]).reshape(1, 5)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [scal, words]
     if affine:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         inputs.append(words2)
     scratch = [pltpu.VMEM((groups * rps, srows, 128), _INT)]
     if affine:
         scratch.append(pltpu.VMEM((groups * rps, srows, 128), _INT))
+    scratch.append(pltpu.VMEM((1, 128), _INT))  # move-word lane acc
     scratch.append(pltpu.SemaphoreType.DMA(()))
     if affine:
         scratch.append(pltpu.SemaphoreType.DMA(()))
@@ -229,11 +257,11 @@ def pallas_walk_skewed_window(words, words2, rps: int, row_lo, col_lo,
         kernel,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((mv_words,), _INT),
+            jax.ShapeDtypeStruct((mv_rows, 128), _INT),
             jax.ShapeDtypeStruct((1, 5), _INT),
         ),
         scratch_shapes=scratch,
@@ -245,7 +273,7 @@ def pallas_walk_skewed_window(words, words2, rps: int, row_lo, col_lo,
         interpret=interpret,
     )(*inputs)
     return (
-        mv, res[0, 0], res[0, 1], res[0, 2], res[0, 3],
+        mv.reshape(-1), res[0, 0], res[0, 1], res[0, 2], res[0, 3],
         res[0, 4].astype(bool),
     )
 
