@@ -97,6 +97,18 @@ def sequence_parallel() -> bool:
     return jax.device_count() > 1
 
 
+def batch_walker_max_pairs() -> int:
+    """Per-device pair-count ceiling for routing a batch traceback slice
+    to the per-pair in-kernel Pallas walker (ops/batch_traceback.py)
+    instead of the lockstep XLA gather walk.  The scalar walker costs
+    ~0.2 us per MOVE serialized over pairs while the lockstep walk costs
+    ~26 us per lockstep STEP regardless of batch size, so small batches
+    of big pairs favor the walker and big batches the lockstep walk
+    (crossover ~128-256 pairs).  SEQALIGN_BATCH_WALKER_MAX_PAIRS=0
+    disables the walker."""
+    return int(os.environ.get("SEQALIGN_BATCH_WALKER_MAX_PAIRS", "256"))
+
+
 # Direction-matrix HBM budget for the single-call fill path; longer pairs
 # go through the tiled streaming engine (ops/tiled.py).
 MAX_DIRS_BYTES = int(

@@ -293,6 +293,8 @@ class BatchAligner:
         from ..native import bindings
         from ..ops.batch_traceback import (
             batch_device_traceback,
+            batch_pallas_traceback,
+            fits_batch_walker,
             unpack_batch_moves,
         )
         from ..ops.traceback import emit_moves_affine
@@ -343,12 +345,27 @@ class BatchAligner:
             parts = ([], [], [], [])
 
             def walk(d_slice, d2_slice, lo, hi):
-                pk, ln, fi, fj = batch_device_traceback(
-                    d_slice, ns_s[lo:hi], ms_s[lo:hi],
-                    bis[lo:hi], bjs[lo:hi],
-                    local=self.local, semi=self.semi,
-                    max_len=max_len, dirs2=d2_slice,
-                )
+                # Small slices of big pairs route to the per-pair
+                # in-kernel walker (~0.2 us/move serialized over pairs);
+                # large slices amortize the lockstep gather walk's
+                # ~26 us/step across the whole batch.
+                if 0 < hi - lo <= config.batch_walker_max_pairs() and (
+                    fits_batch_walker(n_cols_, w_rows_, max_len, affine)
+                ):
+                    pk, ln, fi, fj = batch_pallas_traceback(
+                        d_slice, ns_s[lo:hi], ms_s[lo:hi],
+                        bis[lo:hi], bjs[lo:hi],
+                        local=self.local, semi=self.semi,
+                        max_len=max_len, dirs2=d2_slice,
+                        interpret=interpret,
+                    )
+                else:
+                    pk, ln, fi, fj = batch_device_traceback(
+                        d_slice, ns_s[lo:hi], ms_s[lo:hi],
+                        bis[lo:hi], bjs[lo:hi],
+                        local=self.local, semi=self.semi,
+                        max_len=max_len, dirs2=d2_slice,
+                    )
                 parts[0].append(pk)
                 parts[1].append(ln)
                 parts[2].append(fj)

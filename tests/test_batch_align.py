@@ -136,10 +136,13 @@ def test_batch_align_sw_no_match():
 
 def test_batch_align_multigroup_walk(monkeypatch):
     # Force the int32-index chunking: several tiles per shard, walked in
-    # separate groups, must reassemble into identical results.
+    # separate groups, must reassemble into identical results.  This
+    # targets the LOCKSTEP walk's chunk arithmetic, so pin that route
+    # (the per-pair walker has its own tests below).
     from seqalign_tpu.parallel import batch as batch_mod
 
     monkeypatch.setattr(batch_mod, "WALK_INDEX_CAP", 1)
+    monkeypatch.setenv("SEQALIGN_BATCH_WALKER_MAX_PAIRS", "0")
     rng = np.random.default_rng(27)
     sm = _dna_sm()
     texts, patterns = _random_pairs(rng, 2050, n_hi=14, m_hi=12)
@@ -152,6 +155,34 @@ def test_batch_align_multigroup_walk(monkeypatch):
         np.testing.assert_array_equal(r.aligned_text, oat)
         assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
             ost, osp,
+        )
+
+
+@pytest.mark.parametrize(
+    "mode", [{}, {"local": True}, {"semi": True}, {"gap_extend": 2}]
+)
+def test_batch_pallas_walker_matches_lockstep(mode, monkeypatch):
+    # The per-pair in-kernel walker must produce byte-identical
+    # alignments to the lockstep walk on the same fills (both are pinned
+    # to the oracle elsewhere; this pins them to each other across the
+    # window-reload path, long pairs included).
+    rng = np.random.default_rng(29)
+    sm = _dna_sm()
+    gap = 6 if "gap_extend" in mode else 5
+    texts, patterns = _random_pairs(rng, 5, n_hi=200, m_hi=180)
+    if mode.get("semi"):
+        texts = [np.concatenate([t, t]) for t in texts]
+
+    monkeypatch.setenv("SEQALIGN_BATCH_WALKER_MAX_PAIRS", "4096")
+    via_walker = BatchAligner(sm, 4, gap, **mode).align(texts, patterns)
+    monkeypatch.setenv("SEQALIGN_BATCH_WALKER_MAX_PAIRS", "0")
+    via_lockstep = BatchAligner(sm, 4, gap, **mode).align(texts, patterns)
+    for a, b in zip(via_walker, via_lockstep):
+        assert a.score == b.score
+        np.testing.assert_array_equal(a.aligned_text, b.aligned_text)
+        np.testing.assert_array_equal(a.aligned_pattern, b.aligned_pattern)
+        assert (a.start_in_aligned_text, a.start_in_aligned_pattern) == (
+            b.start_in_aligned_text, b.start_in_aligned_pattern,
         )
 
 
