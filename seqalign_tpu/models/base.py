@@ -91,15 +91,27 @@ class PairAligner:
             # ops/checkpoint.py) beyond its strip/SMEM limits.
             from ..ops import direct
 
-            if (
-                config.sequence_parallel()
-                and words_bytes <= config.MAX_DIRS_BYTES
-            ):
-                return self._align_sequence_parallel(
-                    text, pattern, sm, alphabet_size, gap_penalty
+            if config.sequence_parallel():
+                import os
+
+                from ..parallel.sequence import estimated_speedup
+
+                # Route to the mesh only when the pipeline model says
+                # it actually beats one chip (ramp re-pay + pipeline
+                # bubble make small jobs slower); =1 in the env forces
+                # it for tests and pods where the model is known-good.
+                est = estimated_speedup(
+                    text.shape[0], pattern.shape[0], jax.device_count()
                 )
+                forced = (
+                    os.environ.get("SEQALIGN_SEQUENCE_PARALLEL") == "1"
+                )
+                if est > 0 and (forced or est >= 1.2):
+                    return self._align_sequence_parallel(
+                        text, pattern, sm, alphabet_size, gap_penalty
+                    )
             if direct.fits_direct(text.shape[0], pattern.shape[0]):
-                return self._align_direct(
+                return self._direct_with_fallback(
                     text, pattern, sm, alphabet_size, gap_penalty
                 )
             return self._align_checkpoint(
@@ -126,30 +138,36 @@ class PairAligner:
         )
 
     def _align_sequence_parallel(self, text, pattern, score_matrix,
-                                 alphabet_size, gap_penalty):
-        """Multi-device single-pair fill (column strips across the mesh,
-        ppermute halo exchange) + host traceback over the streamed
-        packed words."""
-        from ..parallel.sequence import sequence_parallel_fill
+                                 alphabet_size, gap_penalty,
+                                 gap_extend=None):
+        """Multi-device single-pair alignment: the phase-1 checkpoint
+        fill pipelines wavefront strips across the mesh (device d owns
+        strip d; ckpt_cols text chunks flow through with ppermute halos
+        of the bottom-row/F streams), then the standard single-chip
+        path-tile traceback walks the result — the wavefront-speed
+        multi-chip analog of the reference's stream pipeline
+        (alignSequenceGPU.cu:14-40, 470-484)."""
+        from ..ops.checkpoint import checkpointed_traceback
+        from ..parallel.sequence import (
+            sequence_parallel_checkpointed_fill,
+        )
 
-        score, bi, bj, words = sequence_parallel_fill(
-            np.asarray(text, dtype=np.int32),
-            np.asarray(pattern, dtype=np.int32),
-            self._score_matrix(score_matrix, alphabet_size),
-            alphabet_size, gap_penalty, local=self.local, with_dirs=True,
+        text = np.asarray(text, dtype=np.int32)
+        pattern = np.asarray(pattern, dtype=np.int32)
+        sm = self._score_matrix(score_matrix, alphabet_size)
+        ck = sequence_parallel_checkpointed_fill(
+            text, pattern, sm, alphabet_size, gap_penalty,
+            local=self.local, gap_extend=gap_extend,
         )
         aligned_text, aligned_pattern, start_t, start_p = (
-            bindings.traceback_packed(
-                1 if self.local else 0, words, text, pattern,
-                alphabet_size, best_i=bi, best_j=bj,
-            )
+            checkpointed_traceback(ck, text, pattern, sm, alphabet_size)
         )
         return AlignmentResult(
             aligned_text=aligned_text,
             aligned_pattern=aligned_pattern,
             start_in_aligned_text=start_t,
             start_in_aligned_pattern=start_p,
-            score=score,
+            score=ck.score,
         )
 
     def _align_direct(self, text, pattern, score_matrix, alphabet_size,
@@ -175,6 +193,29 @@ class PairAligner:
             start_in_aligned_pattern=start_p,
             score=score,
         )
+
+    def _direct_with_fallback(self, text, pattern, score_matrix,
+                              alphabet_size, gap_penalty, gap_extend=None):
+        """Direct one-dispatch path, falling back to the checkpointed
+        engine if the direction-word slab doesn't fit device HBM at
+        runtime (fits_direct budgets a dedicated chip; a co-tenant can
+        shrink what's really free)."""
+        try:
+            return self._align_direct(
+                text, pattern, score_matrix, alphabet_size, gap_penalty,
+                gap_extend=gap_extend,
+            )
+        except RuntimeError as e:
+            msg = str(e)
+            if (
+                "RESOURCE_EXHAUSTED" not in msg
+                and "out of memory" not in msg.lower()
+            ):
+                raise
+            return self._align_checkpoint(
+                text, pattern, score_matrix, alphabet_size, gap_penalty,
+                gap_extend=gap_extend,
+            )
 
     def _align_checkpoint(self, text, pattern, score_matrix, alphabet_size,
                           gap_penalty, gap_extend=None):
@@ -270,7 +311,7 @@ class PairAligner:
                 n = int(np.asarray(text).shape[0])
                 m = int(np.asarray(pattern).shape[0])
                 if direct.fits_direct(n, m, affine=True):
-                    return self._align_direct(
+                    return self._direct_with_fallback(
                         text, pattern, score_matrix, alphabet_size,
                         gap_penalty, gap_extend=gap_extend,
                     )

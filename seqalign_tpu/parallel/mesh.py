@@ -27,7 +27,13 @@ def make_data_mesh(num_devices: Optional[int] = None,
         devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return jax.make_mesh((len(devices),), (DATA_AXIS,), devices=devices)
+    # Auto axis typing: engine outputs (e.g. the sequence-parallel
+    # boundary checkpoints) feed plain single-chip jits afterwards, and
+    # Explicit-typed avals would demand a mesh context there.
+    return jax.make_mesh(
+        (len(devices),), (DATA_AXIS,), devices=devices,
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -1,17 +1,31 @@
 """Sequence-parallel single-pair alignment across a device mesh.
 
-One long pair's DP matrix is split into column strips, one per device;
-row blocks flow down each strip, and strip boundary columns are handed
-to the right neighbor with ``ppermute`` over ICI — a pipelined diagonal
-wavefront across devices.  This is the multi-chip analog of the
-reference's chunked CUDA-stream pipeline with its device-global
-columnState spin-locks (alignSequenceGPU.cu:14-40, 470-484): here the
-dependency is expressed structurally (device d runs row block s-d at
-superstep s) and the halo exchange is an XLA collective.
+One long pair's DP matrix is split across devices and filled as a
+pipelined diagonal wavefront — the multi-chip analog of the reference's
+chunked CUDA-stream pipeline with its device-global columnState
+spin-locks (alignSequenceGPU.cu:14-40, 470-484): here the dependency is
+expressed structurally (device d runs chunk s-d at superstep s) and the
+halo exchange is an XLA collective (``ppermute`` over ICI).
 
-After the pipeline drains, each device holds its strip's local
-best-cell state; states merge on host with exact row-major
-first-occurrence semantics (as in ops/tiled.py).
+Two engines:
+
+* :func:`sequence_parallel_checkpointed_fill` — the production path.
+  Device d owns wavefront strip d (``rps*slots`` pattern rows) and runs
+  the SAME deep-strip wavefront kernel the single-chip checkpoint
+  engine uses (140+ GCUPS with dirs), over text chunks of ``ckpt_cols``
+  columns: each chunk's in-kernel column checkpoint doubles as the next
+  chunk's left boundary (wavefront.make_left_input), the strip's
+  bottom-row stream (H, and F for affine) ppermutes to the next device,
+  and the collected checkpoints form a standard
+  :class:`ops.checkpoint.CheckpointedFill` — so the existing
+  single-chip path-tile traceback runs unchanged and alignments stay
+  byte-identical across all modes, affine included.
+* :func:`sequence_parallel_fill` — the round-1 column-strip engine over
+  the (slower) strip kernel, kept for the packed-words streaming path
+  and its tests.
+
+After the pipeline drains, per-strip best-cell states merge on host
+with exact row-major first-occurrence semantics.
 """
 
 from __future__ import annotations
@@ -24,11 +38,359 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
-from ..ops import pallas_fill
+from ..ops import pallas_fill, wavefront
+from ..ops.checkpoint import (
+    DEFAULT_CKPT_COLS,
+    CheckpointedFill,
+    _pick_geometry,
+)
 from ..ops.pallas_fill import NEG_INF, ROWS_PER_STEP, SUBLANES
 from . import mesh as mesh_lib
 
 _INT = jnp.int32
+
+
+def estimated_speedup(n: int, m: int, d_count: int,
+                      ckpt_cols: int = DEFAULT_CKPT_COLS) -> float:
+    """Critical-path model of the pipelined chunked fill vs the
+    single-chip strip loop (both ride the same wavefront kernel, so
+    step counts compare directly): single chip sweeps every strip over
+    the whole text; the pipeline's critical path is
+    (num_chunks + num_strips - 1) chunk fills of (ckpt_cols + slots)
+    steps, each chunk re-paying the skew ramp.  Returns 0 when the
+    pattern needs more strips than devices (not supported)."""
+    rps, slots = _pick_geometry(m, None, None)
+    rows = rps * slots
+    num_strips = max(1, -(-m // rows))
+    if num_strips > d_count:
+        return 0.0
+    num_chunks = max(1, -(-n // ckpt_cols))
+    single = num_strips * (n + slots)
+    par = (num_chunks + num_strips - 1) * (ckpt_cols + slots)
+    return single / par
+
+
+def sequence_parallel_checkpointed_fill(
+        text, pattern, score_matrix, k_alpha: int, gap: int,
+        local: bool = False, semi: bool = False,
+        gap_extend: int | None = None,
+        ckpt_cols: int = DEFAULT_CKPT_COLS,
+        rps: int | None = None, slots: int | None = None,
+        mesh: Optional[Mesh] = None) -> CheckpointedFill:
+    """Phase-1 checkpoint fill of one long pair, pipelined over the mesh.
+
+    Returns the same :class:`CheckpointedFill` the single-chip
+    ``checkpointed_fill`` produces (same boundary layouts, same score /
+    best-cell semantics), with the O(n*m) fill work split across
+    devices; feed it to ``checkpointed_traceback`` for the exact
+    alignment.
+    """
+    mesh = mesh if mesh is not None else mesh_lib.make_data_mesh()
+    d_count = mesh.size
+    axis = mesh_lib.DATA_AXIS
+    interpret = config.pallas_interpret()
+
+    text_np = np.asarray(text, dtype=np.int32)
+    pattern_np = np.asarray(pattern, dtype=np.int32)
+    sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
+        : k_alpha * k_alpha
+    ].reshape(k_alpha, k_alpha)
+    pallas_fill.pack_score_matrix(sm, k_alpha)
+    n, m = text_np.shape[0], pattern_np.shape[0]
+    gap = int(gap)
+    affine = gap_extend is not None
+    ext = int(gap_extend) if affine else 0
+    rps, slots = _pick_geometry(m, rps, slots)
+    rows = rps * slots
+    srows = slots // 128
+    num_strips = max(1, -(-m // rows))
+    assert num_strips <= d_count, (
+        "pattern needs more wavefront strips than devices; use the "
+        "single-chip checkpoint engine"
+    )
+    num_chunks = max(1, -(-n // ckpt_cols))
+    tile_blocks = -(-(ckpt_cols + slots - 1) // wavefront.STEPS)
+    tile_steps = tile_blocks * wavefront.STEPS
+    supersteps = num_chunks + d_count - 1
+    snap_chunk = max(0, (n - 1) // ckpt_cols)
+
+    l_pad = (num_chunks - 1) * ckpt_cols + tile_steps
+    text_pad = np.zeros(l_pad, dtype=np.int32)
+    text_pad[:n] = text_np
+
+    # Per-device pattern strips in slot layout.
+    pat_pad = np.zeros(d_count * rows, dtype=np.int32)
+    pat_pad[:m] = pattern_np
+    pats = np.ascontiguousarray(
+        pat_pad.reshape(d_count, slots, rps).transpose(0, 2, 1)
+    ).reshape(d_count, rps, srows, 128)
+
+    perm = [(i, i + 1) for i in range(d_count - 1)]
+    neg_half = wavefront.NEG_HALF
+
+    def worker(pat_d):
+        pat_d = pat_d[0]
+        d = jax.lax.axis_index(axis)
+        i0 = d * rows
+        text_all = jnp.asarray(text_pad)
+        rvec = jnp.arange(rows + 1, dtype=_INT)
+        tvec = jnp.arange(tile_steps, dtype=_INT)
+        sm_dev = jnp.asarray(sm)
+
+        # Arithmetic left boundary lc[ri] = S[i0 + ri, 0] for chunk 0.
+        if local:
+            lc0 = jnp.zeros((rows + 1,), _INT)
+        elif affine:
+            lc0 = jnp.where(
+                i0 + rvec == 0, 0, -(gap + ext * (i0 + rvec - 1))
+            )
+        else:
+            lc0 = -(gap * (i0 + rvec))
+        le0 = jnp.full((rows + 1,), neg_half, _INT)
+
+        def superstep(carry, s):
+            (halo, halo_f, left_col, left_e_col, acc, aj, snap,
+             bounds_buf, fbounds_buf, colvals_buf, colvalse_buf) = carry
+            c = s - d
+            active = jnp.logical_and(c >= 0, c < num_chunks)
+            c_c = jnp.clip(c, 0, num_chunks - 1)
+            col_lo = c_c * ckpt_cols
+
+            ts = jax.lax.dynamic_slice(text_all, (col_lo,), (tile_steps,))
+            # Top boundary row of this strip for the chunk: strip 0 uses
+            # the arithmetic row-0 boundary; others the received halo
+            # (only the first ckpt_cols entries are real — cells beyond
+            # column col_lo + ckpt_cols live in the skew drain and feed
+            # nothing that is kept).
+            if local or semi:
+                arith_bot = jnp.zeros((tile_steps,), _INT)
+            elif affine:
+                arith_bot = -(gap + ext * (col_lo + tvec))
+            else:
+                arith_bot = -(gap * (col_lo + tvec + 1))
+            halo_pad = jnp.concatenate(
+                [halo, jnp.zeros((tile_steps - ckpt_cols,), _INT)]
+            )
+            bot = jnp.where(d == 0, arith_bot, halo_pad)
+            if affine:
+                fhalo_pad = jnp.concatenate(
+                    [halo_f,
+                     jnp.full((tile_steps - ckpt_cols,), neg_half, _INT)]
+                )
+                fbot = jnp.where(
+                    d == 0,
+                    jnp.full((tile_steps,), neg_half, _INT),
+                    fhalo_pad,
+                )
+            else:
+                fbot = None
+
+            lc = jnp.where(c_c == 0, lc0, left_col)
+            left_in = wavefront.make_left_input(lc, rps, slots)
+            if affine:
+                le = jnp.where(c_c == 0, le0, left_e_col)
+                left_e = wavefront.make_left_input(le, rps, slots)
+            else:
+                left_e = None
+
+            # Tracking is confined to this chunk's OWN columns
+            # [col_lo+1, col_lo+ckpt_cols]; the drain region re-fills
+            # the next chunk's ramp but is never tracked or kept.
+            n_eff = jnp.clip(n - col_lo, 0, ckpt_cols)
+            outs = wavefront.wavefront_strip(
+                ts.reshape(tile_blocks, wavefront.STEPS),
+                bot.reshape(tile_blocks, wavefront.STEPS),
+                pat_d, sm_dev, gap, n_eff, m, i0,
+                k_alpha=k_alpha, local=local, with_dirs=False,
+                rps=rps, ckpt_every=ckpt_cols, slots=slots, semi=semi,
+                left_in=left_in, affine=affine, ext=ext,
+                fbot_in=(
+                    fbot.reshape(tile_blocks, wavefront.STEPS)
+                    if affine else None
+                ),
+                left_e=left_e, interpret=interpret,
+            )
+            _, bot_out, rowmax, argj, snap_o, ckpts = outs[:6]
+            if affine:
+                _, fbot_out, ckpts_e = outs[6:]
+
+            # Bottom-row stream for columns col_lo+1..col_lo+ckpt_cols.
+            seg = jax.lax.dynamic_slice(
+                bot_out.reshape(-1), (slots - 1,), (ckpt_cols,)
+            )
+            bounds_buf = jnp.where(
+                active,
+                jax.lax.dynamic_update_slice(bounds_buf, seg, (col_lo,)),
+                bounds_buf,
+            )
+            colvals_buf = jnp.where(
+                active,
+                jax.lax.dynamic_update_slice(
+                    colvals_buf, ckpts[None], (c_c, 0, 0, 0)
+                ),
+                colvals_buf,
+            )
+            if affine:
+                fseg = jax.lax.dynamic_slice(
+                    fbot_out.reshape(-1), (slots - 1,), (ckpt_cols,)
+                )
+                fbounds_buf = jnp.where(
+                    active,
+                    jax.lax.dynamic_update_slice(
+                        fbounds_buf, fseg, (col_lo,)
+                    ),
+                    fbounds_buf,
+                )
+                colvalse_buf = jnp.where(
+                    active,
+                    jax.lax.dynamic_update_slice(
+                        colvalse_buf, ckpts_e[None], (c_c, 0, 0, 0)
+                    ),
+                    colvalse_buf,
+                )
+            else:
+                fseg = seg
+
+            # Best-cell trackers: per-row (max, first absolute column);
+            # chunks own disjoint ascending column ranges, so strict
+            # improvement keeps exact first-occurrence semantics.
+            improved = jnp.logical_and(active, rowmax > acc)
+            acc = jnp.where(improved, rowmax, acc)
+            aj = jnp.where(improved, argj + col_lo, aj)
+            snap = jnp.where(
+                jnp.logical_and(active, c_c == snap_chunk), snap_o, snap
+            )
+
+            # This chunk's right boundary column becomes the next
+            # chunk's left boundary; its corner S[i0, col_lo+ckpt_cols]
+            # is the last real entry of this chunk's TOP boundary.
+            col_rows = (
+                ckpts.reshape(rps, slots).T.reshape(rows)
+            )
+            corner = jax.lax.dynamic_slice(bot, (ckpt_cols - 1,), (1,))
+            new_left = jnp.concatenate([corner, col_rows])
+            left_col = jnp.where(active, new_left, left_col)
+            if affine:
+                cole_rows = ckpts_e.reshape(rps, slots).T.reshape(rows)
+                new_left_e = jnp.concatenate(
+                    [jnp.full((1,), neg_half, _INT), cole_rows]
+                )
+                left_e_col = jnp.where(active, new_left_e, left_e_col)
+
+            halo = jax.lax.ppermute(seg, axis, perm)
+            if affine:
+                halo_f = jax.lax.ppermute(fseg, axis, perm)
+            return (
+                (halo, halo_f, left_col, left_e_col, acc, aj, snap,
+                 bounds_buf, fbounds_buf, colvals_buf, colvalse_buf),
+                None,
+            )
+
+        z_seg = jnp.zeros((ckpt_cols,), _INT)
+        carry0 = (
+            z_seg, z_seg, jnp.zeros((rows + 1,), _INT),
+            jnp.full((rows + 1,), neg_half, _INT),
+            jnp.full((rps, srows, 128), NEG_INF, _INT),
+            jnp.zeros((rps, srows, 128), _INT),
+            jnp.full((srows, 128), NEG_INF, _INT),
+            jnp.zeros((num_chunks * ckpt_cols,), _INT),
+            jnp.zeros(
+                ((num_chunks * ckpt_cols) if affine else 1,), _INT
+            ),
+            jnp.zeros((num_chunks, rps, srows, 128), _INT),
+            jnp.zeros(
+                (num_chunks if affine else 1, rps, srows, 128), _INT
+            ),
+        )
+        carry, _ = jax.lax.scan(
+            superstep, carry0, jnp.arange(supersteps, dtype=_INT)
+        )
+        (_, _, _, _, acc, aj, snap, bounds_buf, fbounds_buf,
+         colvals_buf, colvalse_buf) = carry
+        # Replicate the boundary buffers (one all-gather over ICI, a few
+        # MB per 100k rows) so the single-chip traceback can slice
+        # per-strip without cross-device gathers.
+        return (
+            acc[None], aj[None], snap[None],
+            jax.lax.all_gather(bounds_buf, axis),
+            jax.lax.all_gather(fbounds_buf, axis),
+            jax.lax.all_gather(colvals_buf, axis),
+            jax.lax.all_gather(colvalse_buf, axis),
+        )
+
+    spec = P(axis)
+    fn = jax.shard_map(
+        worker, mesh=mesh, in_specs=(spec,),
+        out_specs=(spec, spec, spec, P(), P(), P(), P()),
+        check_vma=False,
+    )
+    accs, ajs_d, snaps, bounds_d, fbounds_d, colvals_d, colvalse_d = fn(
+        jnp.asarray(pats)
+    )
+
+    # Phase 2 (path-tile traceback) runs single-chip: land each strip's
+    # boundary arrays on device 0 as plain single-device arrays, which
+    # also strips the mesh's Explicit axis typing off their avals (the
+    # downstream jit mixes them with unsharded values).
+    dev0 = mesh.devices.flat[0]
+
+    def ckpts_to_cols(x):
+        # (num_chunks, rps, srows, 128) -> (num_chunks, rows).
+        return (
+            x.reshape(num_chunks, rps, slots)
+            .transpose(0, 2, 1)
+            .reshape(num_chunks, rows)
+        )
+
+    colvals = [
+        jax.device_put(ckpts_to_cols(colvals_d[b]), dev0)
+        for b in range(num_strips)
+    ]
+    boundaries = [
+        jax.device_put(bounds_d[b], dev0) for b in range(num_strips)
+    ]
+    extra = {}
+    if affine:
+        extra = dict(
+            gap_extend=ext,
+            colvals_e=[
+                jax.device_put(ckpts_to_cols(colvalse_d[b]), dev0)
+                for b in range(num_strips)
+            ],
+            boundaries_f=[
+                jax.device_put(fbounds_d[b], dev0)
+                for b in range(num_strips)
+            ],
+        )
+
+    accs, ajs_d, snaps = jax.device_get((accs, ajs_d, snaps))
+    rowmaxs = [
+        np.asarray(accs[b]).reshape(rps, -1) for b in range(num_strips)
+    ]
+    argjs = [
+        np.asarray(ajs_d[b]).reshape(rps, -1) for b in range(num_strips)
+    ]
+    if local:
+        score, bi, bj = wavefront.merge_local_best(
+            rowmaxs, argjs, rows, rps, m, slots=slots
+        )
+    elif semi:
+        strip = (m - 1) // rows
+        ri = (m - 1) % rows
+        slot_idx, r_idx = ri // rps, ri % rps
+        score = int(rowmaxs[strip][r_idx, slot_idx])
+        bi, bj = m, int(argjs[strip][r_idx, slot_idx])
+    else:
+        strip = (m - 1) // rows
+        slot_idx = ((m - 1) % rows) // rps
+        score = int(np.asarray(snaps[strip]).reshape(-1)[slot_idx])
+        bi, bj = m, n
+    return CheckpointedFill(
+        score=score, best_i=bi, best_j=bj,
+        colvals=colvals, boundaries=boundaries,
+        n=n, m=m, rows=rows, rps=rps, ckpt_cols=ckpt_cols,
+        gap=gap, local=local, semi=semi, **extra,
+    )
 
 
 def _merge_states(states: np.ndarray, local: bool, n: int, m: int):

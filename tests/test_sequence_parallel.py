@@ -108,3 +108,75 @@ def test_sequence_parallel_dirs_and_traceback():
     np.testing.assert_array_equal(at, oat)
     np.testing.assert_array_equal(ap, oap)
     assert (st, sp) == (ost, osp)
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [{}, {"local": True}, {"gap_extend": 2}],
+    ids=["global", "local", "affine"],
+)
+def test_sequence_parallel_checkpointed_alignment(mode):
+    # The production multi-device path: pipelined wavefront-strip
+    # checkpoint fill across the mesh + the standard single-chip
+    # path-tile traceback, byte-identical to the oracle.  Small
+    # geometry: 3 strips of 1024 rows over 8 devices, 3 text chunks.
+    from seqalign_tpu.ops.checkpoint import checkpointed_traceback
+    from seqalign_tpu.parallel.sequence import (
+        sequence_parallel_checkpointed_fill,
+    )
+
+    rng = np.random.default_rng(11)
+    sm = _dna_sm()
+    n, m = 5000, 2600
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+    gap = 6 if "gap_extend" in mode else 5
+
+    ck = sequence_parallel_checkpointed_fill(
+        text, pattern, sm, 4, gap, ckpt_cols=2048, rps=1, slots=1024,
+        **mode,
+    )
+    at, ap, st, sp = checkpointed_traceback(ck, text, pattern, sm, 4)
+    if "gap_extend" in mode:
+        oat, oap, ost, osp, oscore = bindings.oracle_align_affine(
+            1 if mode.get("local") else 0,
+            text.astype(np.int8), pattern.astype(np.int8), sm, 4, gap,
+            mode["gap_extend"],
+        )
+    else:
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            1 if mode.get("local") else 0,
+            text.astype(np.int8), pattern.astype(np.int8), sm, 4, gap,
+        )
+    assert ck.score == oscore
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
+
+
+def test_sequence_parallel_checkpointed_single_strip_long_text():
+    # One strip (pattern < rows), many chunks: exercises the left-column
+    # carry with no inter-device halo consumption beyond strip 0.
+    from seqalign_tpu.ops.checkpoint import checkpointed_traceback
+    from seqalign_tpu.parallel.sequence import (
+        sequence_parallel_checkpointed_fill,
+    )
+
+    rng = np.random.default_rng(13)
+    sm = _dna_sm()
+    n, m = 9000, 700
+    text = rng.integers(0, 4, n).astype(np.int32)
+    pattern = rng.integers(0, 4, m).astype(np.int32)
+
+    ck = sequence_parallel_checkpointed_fill(
+        text, pattern, sm, 4, 4, local=True,
+        ckpt_cols=2048, rps=1, slots=1024,
+    )
+    at, ap, st, sp = checkpointed_traceback(ck, text, pattern, sm, 4)
+    oat, oap, ost, osp, oscore = bindings.oracle_align(
+        1, text.astype(np.int8), pattern.astype(np.int8), sm, 4, 4
+    )
+    assert ck.score == oscore
+    np.testing.assert_array_equal(at, oat)
+    np.testing.assert_array_equal(ap, oap)
+    assert (st, sp) == (ost, osp)
