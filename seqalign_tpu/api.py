@@ -44,9 +44,6 @@ def align_cpu(request: Request, response: Response,
     algo = _algo_code(request.alignment_type)
     try:
         if request.gap_extend is not None:
-            if algo == 2:
-                err.write(constants.AFFINE_SEMI_ERROR)
-                return 1
             text_idx, pat_idx, start_t, start_p, score = (
                 bindings.oracle_align_affine(
                     algo,
@@ -85,16 +82,14 @@ def align_tpu(request: Request, response: Response,
     """Accelerator engine: device fill + device/host traceback.
 
     Affine (Gotoh) requests (--gap-extend, an extension) route through
-    the checkpointed wavefront engine, byte-identical to the native
-    sa_align_affine oracle; affine semi-global is not defined.
+    the direct / checkpointed wavefront engines, byte-identical to the
+    native sa_align_affine oracle — all three modes, semi-global
+    ("fit") included (algo=2 in the oracle).
     """
+    from . import config
     from .models import aligner_for
 
-    if request.gap_extend is not None and (
-        request.alignment_type is AlignmentType.SEMI_GLOBAL
-    ):
-        err.write(constants.AFFINE_SEMI_ERROR)
-        return 1
+    config.enable_compile_cache()
     try:
         model = aligner_for(request.alignment_type)
         result = model.align(

@@ -97,6 +97,31 @@ def sequence_parallel() -> bool:
     return jax.device_count() > 1
 
 
+_compile_cache_enabled = False
+
+
+def enable_compile_cache() -> None:
+    """Point JAX at the shared on-disk compilation cache so repeat runs
+    skip the per-shape AOT kernel compile (~3-6 min per Mosaic shape on
+    hosts with a remote compile helper).  The reference compiles its
+    kernels once at build time (Makefile nvcc); the analog here is one
+    persistent cache shared by every process — CLI, batch API, bench.
+    SEQALIGN_COMPILE_CACHE overrides the directory; "0" disables."""
+    global _compile_cache_enabled
+    if _compile_cache_enabled:
+        return
+    _compile_cache_enabled = True
+    path = os.environ.get("SEQALIGN_COMPILE_CACHE", "/tmp/jax_comp_cache")
+    if path in ("", "0"):
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # cache is an optimization, never a failure
+        pass
+
+
 def batch_walker_max_pairs() -> int:
     """Per-device pair-count ceiling for routing a batch traceback slice
     to the per-pair in-kernel Pallas walker (ops/batch_traceback.py)

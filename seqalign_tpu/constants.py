@@ -76,10 +76,6 @@ Usage: ./alignSequence [-d|-p] [-c|-g] [--global|--local] [-s <file>] [--gap-pen
 """
 SEQ_NOT_READ_ERROR = "error: text sequence or pattern sequence not read\n"
 MEM_ERROR = "error: sequence is too long, not enough memory\n"
-# Extension-only error (no reference analog).
-AFFINE_SEMI_ERROR = (
-    "error: affine semi-global alignment is not supported\n"
-)
 SCORE_MATRIX_NOT_READ_ERROR = (
     "error: matrix scores not read. Only integer scores accepted (int)\n"
 )

@@ -19,30 +19,50 @@ class SemiGlobal(PairAligner):
 
     def align(self, text, pattern, score_matrix, alphabet_size, gap_penalty,
               gap_extend=None):
-        # Affine semi-global is undefined; api.align_tpu rejects it
-        # before dispatch, so gap_extend is always None here.
-        assert gap_extend is None
+        # gap_extend: affine (Gotoh) fit — oracle algo=2 semantics
+        # (sa_fill_affine / sa_align_affine); rides the same direct /
+        # checkpointed engines as linear semi.
         if config.use_pallas():
             return self._align_checkpoint_semi(
-                text, pattern, score_matrix, alphabet_size, gap_penalty
+                text, pattern, score_matrix, alphabet_size, gap_penalty,
+                gap_extend=gap_extend,
+            )
+        if gap_extend is not None:
+            # The portable XLA engine has no affine traceback; use the
+            # native oracle (as PairAligner.align does for global/local).
+            sm = self._score_matrix(score_matrix, alphabet_size)
+            at, ap, st, sp, score = bindings.oracle_align_affine(
+                2,
+                np.asarray(text, dtype=np.int8),
+                np.asarray(pattern, dtype=np.int8),
+                sm, alphabet_size, gap_penalty, gap_extend,
+            )
+            return AlignmentResult(
+                aligned_text=at,
+                aligned_pattern=ap,
+                start_in_aligned_text=st,
+                start_in_aligned_pattern=sp,
+                score=score,
             )
         return self._align_xla(
             text, pattern, score_matrix, alphabet_size, gap_penalty
         )
 
     def _align_checkpoint_semi(self, text, pattern, score_matrix,
-                               alphabet_size, gap_penalty):
+                               alphabet_size, gap_penalty, gap_extend=None):
         from ..ops import checkpoint, direct
 
         sm = self._score_matrix(score_matrix, alphabet_size)
         text = np.asarray(text, dtype=np.int32)
         pattern = np.asarray(pattern, dtype=np.int32)
-        if direct.fits_direct(text.shape[0], pattern.shape[0]):
+        affine = gap_extend is not None
+        if direct.fits_direct(text.shape[0], pattern.shape[0],
+                              affine=affine):
             # One-dispatch path (fill + device best-of-last-row + walk).
             score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
                 direct.direct_align(
                     text, pattern, sm, alphabet_size, gap_penalty,
-                    semi=True,
+                    semi=True, gap_extend=gap_extend,
                 )
             )
             return AlignmentResult(
@@ -55,6 +75,7 @@ class SemiGlobal(PairAligner):
         score, _, _, aligned_text, aligned_pattern, start_t, start_p = (
             checkpoint.checkpointed_align(
                 text, pattern, sm, alphabet_size, gap_penalty, semi=True,
+                gap_extend=gap_extend,
             )
         )
         return AlignmentResult(

@@ -484,16 +484,19 @@ void sa_traceback_sw_skewed(const int32_t* words, int64_t steps_pad,
 // ---------------------------------------------------------------------------
 // Affine-gap (Gotoh) score-only fill — an extension beyond the linear-gap
 // reference: a gap run of length L costs open + (L-1)*extend, so
-// open == extend degenerates exactly to the linear engine.  Score and
-// (for local) the first row-major best cell, same strict-improvement
-// rule as the linear fill.  Traceback is not defined for affine mode.
+// open == extend degenerates exactly to the linear engine.  algo: 0
+// global, 1 local, 2 semi-global (fit: free text end-gaps as in
+// fill_semi, affine pattern gaps).  Score and (for local/semi) the
+// best cell, same strict-improvement first-occurrence rule as the
+// linear fills (local: row-major over all cells; semi: the last row).
 int32_t sa_fill_affine(int32_t algo, const int8_t* text, int64_t n,
                        const int8_t* pattern, int64_t m,
                        const int32_t* score_matrix, int32_t k,
                        int32_t open, int32_t extend, int32_t* out_score,
                        int64_t* out_best) {
   const int64_t cols = n + 1;
-  const bool local = algo != 0;
+  const bool local = algo == 1;
+  const bool semi = algo == 2;
   const int32_t kNegInf = -(1 << 29);
   int32_t* h_prev = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cols));
   int32_t* h_curr = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cols));
@@ -506,8 +509,9 @@ int32_t sa_fill_affine(int32_t algo, const int8_t* text, int64_t n,
   }
   for (int64_t j = 0; j < cols; ++j) {
     h_curr[j] =
-        local ? 0
-              : (j == 0 ? 0 : static_cast<int32_t>(-open - (j - 1) * extend));
+        (local || semi)
+            ? 0
+            : (j == 0 ? 0 : static_cast<int32_t>(-open - (j - 1) * extend));
     f_row[j] = kNegInf;
   }
   int32_t max_score = 0;
@@ -534,7 +538,19 @@ int32_t sa_fill_affine(int32_t algo, const int8_t* text, int64_t n,
       h_curr[j] = h;
     }
   }
-  *out_score = local ? max_score : h_curr[n];
+  if (semi) {
+    // First occurrence over the last row, j >= 1 (as fill_semi).
+    int64_t arg = n >= 1 ? 1 : 0;
+    max_score = h_curr[arg];
+    for (int64_t j = arg + 1; j < cols; ++j) {
+      if (h_curr[j] > max_score) {
+        max_score = h_curr[j];
+        arg = j;
+      }
+    }
+    max_idx = m * cols + arg;
+  }
+  *out_score = (local || semi) ? max_score : h_curr[n];
   *out_best = max_idx;
   std::free(h_prev);
   std::free(h_curr);
@@ -544,7 +560,9 @@ int32_t sa_fill_affine(int32_t algo, const int8_t* text, int64_t n,
 
 // Affine-gap full alignment (score + traceback).  Three-state Gotoh
 // walk over full H/E/F matrices (12 bytes/cell — the affine CPU path
-// caps out earlier than the 1-byte linear matrix).  Tie policy, defined
+// caps out earlier than the 1-byte linear matrix).  algo: 0 global,
+// 1 local, 2 semi-global (fit: free text end-gaps, best last-row cell,
+// walk stops on row 0 — as sa_traceback_semi).  Tie policy, defined
 // by this oracle (no reference analog): in state H a gap state wins
 // unless the diagonal is strictly greater, E (LEFT) beating F (TOP) on
 // ties — mirroring the linear policy; inside a gap state, ties between
@@ -557,7 +575,8 @@ int32_t sa_align_affine(int32_t algo, const int8_t* text, int64_t n,
                         int64_t* out_start_text, int64_t* out_start_pattern,
                         int32_t* out_score) {
   const int64_t cols = n + 1;
-  const bool local = algo != 0;
+  const bool local = algo == 1;
+  const bool semi = algo == 2;
   const int32_t kNegInf = -(1 << 29);
   const int64_t cells = (m + 1) * cols;
   int32_t* H = static_cast<int32_t*>(std::malloc(sizeof(int32_t) * cells));
@@ -571,7 +590,9 @@ int32_t sa_align_affine(int32_t algo, const int8_t* text, int64_t n,
   }
   H[0] = 0;
   for (int64_t j = 1; j <= n; ++j) {
-    H[j] = local ? 0 : static_cast<int32_t>(-open - (j - 1) * extend);
+    H[j] = (local || semi)
+               ? 0
+               : static_cast<int32_t>(-open - (j - 1) * extend);
     E[j] = kNegInf;
     F[j] = kNegInf;
   }
@@ -607,14 +628,28 @@ int32_t sa_align_affine(int32_t algo, const int8_t* text, int64_t n,
     }
   }
 
-  int64_t i = local ? max_i : m;
-  int64_t j = local ? max_j : n;
-  *out_score = local ? max_score : H[m * cols + n];
+  if (semi) {
+    // First occurrence over the last row, j >= 1 (as fill_semi).
+    const int32_t* last = H + m * cols;
+    max_j = n >= 1 ? 1 : 0;
+    max_score = last[max_j];
+    for (int64_t j = max_j + 1; j <= n; ++j) {
+      if (last[j] > max_score) {
+        max_score = last[j];
+        max_j = j;
+      }
+    }
+    max_i = m;
+  }
+  int64_t i = (local || semi) ? max_i : m;
+  int64_t j = (local || semi) ? max_j : n;
+  *out_score = (local || semi) ? max_score : H[m * cols + n];
   int64_t len = 0;
   int state = 0;  // 0 = H, 1 = E (LEFT run), 2 = F (TOP run)
   while (true) {
     if (state == 0) {
       if (local && (i == 0 || j == 0 || H[i * cols + j] == 0)) break;
+      if (semi && i == 0) break;
       if (!local && i == 0 && j == 0) break;
       uint8_t dir;
       if (j == 0) {

@@ -38,7 +38,7 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap,
       gap: scalar gap penalty (affine: gap-open cost).
       local: Smith-Waterman when True, else Needleman-Wunsch.
       semi: semi-global ("fit") scoring when True (mutually exclusive
-        with local; affine semi is not supported on this engine).
+        with local; composes with gap_extend for affine fit).
       gap_extend: when given, affine (Gotoh) gap costs — a run of length
         L costs gap + (L-1)*gap_extend; requires gap >= gap_extend (the
         row prefix-max identity needs it).  None = linear (reference).
@@ -46,8 +46,6 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap,
     Returns (B,) int32 scores.
     """
     assert not (semi and local)
-    if semi and gap_extend is not None:
-        raise NotImplementedError("affine semi-global scoring")
     n_pad = texts.shape[1]
     col = jnp.arange(n_pad, dtype=_INT)
     sm = score_matrix.astype(_INT)
@@ -57,7 +55,8 @@ def batch_score(texts, patterns, ns, ms, score_matrix, gap,
         profile = jnp.where(col < n, profile, PAD_SCORE)
         if gap_extend is not None:
             score, _ = affine_score_fill(
-                profile, pattern, gap, gap_extend, n, m, local=local
+                profile, pattern, gap, gap_extend, n, m, local=local,
+                semi=semi,
             )
             return score
         if semi:

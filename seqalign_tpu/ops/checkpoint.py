@@ -325,7 +325,8 @@ def _tile_body(text_pad, pats_all, colvals_all, bounds_all,
             -(gap + ext * (row_lo - 1)),
         )
         corner_b0 = jnp.where(
-            local, zero, -(gap + ext * (col_lo - 1))
+            jnp.logical_or(local, semi), zero,
+            -(gap + ext * (col_lo - 1)),
         )
     else:
         corner_c0 = jnp.asarray(0 if local else -1, _INT) * gap * row_lo

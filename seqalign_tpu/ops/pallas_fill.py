@@ -519,7 +519,6 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
     assert not (semi and local)
-    assert not (semi and affine)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
         True,

@@ -279,10 +279,11 @@ def semi_fill(profile: jax.Array, pattern: jax.Array, gap: jax.Array,
     return dirs, best, best_idx
 
 
-@functools.partial(jax.jit, static_argnames=("local",))
+@functools.partial(jax.jit, static_argnames=("local", "semi"))
 def affine_score_fill(profile: jax.Array, pattern: jax.Array,
                       gap_open: jax.Array, gap_extend: jax.Array,
-                      n: jax.Array, m: jax.Array, local: bool = False):
+                      n: jax.Array, m: jax.Array, local: bool = False,
+                      semi: bool = False):
     """Affine-gap (Gotoh) score-only fill; a gap run of length L costs
     open + (L-1)*extend (open == extend degenerates to the linear fill).
 
@@ -293,9 +294,14 @@ def affine_score_fill(profile: jax.Array, pattern: jax.Array,
                          - open - extend*(j-1)),
 
     which requires open >= extend (re-opening inside a run never helps).
-    F carries across rows elementwise.  Returns (score, best_flat_idx);
-    best is the first row-major maximum for local, 0 for global.
+    F carries across rows elementwise.  semi ("fit", exclusive with
+    local): free text end-gaps (row 0 = 0) with the affine pattern-gap
+    column; score = first maximum of the last row, j >= 1 (the oracle's
+    sa_fill_affine algo=2 semantics).  Returns (score, best_flat_idx);
+    best is the first row-major maximum for local, the last-row best for
+    semi, 0 for global.
     """
+    assert not (semi and local)
     p = profile.shape[1] + 1
     m_pad = pattern.shape[0]
     go = jnp.asarray(gap_open, _INT)
@@ -306,7 +312,7 @@ def affine_score_fill(profile: jax.Array, pattern: jax.Array,
     jcol = jnp.arange(p, dtype=_INT)
     ej = ge * jcol
     col_valid = jcol <= n
-    if local:
+    if local or semi:
         row0 = jnp.zeros((p,), _INT)
     else:
         row0 = jnp.where(jcol == 0, 0, -go - ge * (jcol - 1))
@@ -327,10 +333,15 @@ def affine_score_fill(profile: jax.Array, pattern: jax.Array,
         z = jax.lax.cummax(gx + ej)
         excl = jnp.concatenate([neg[None], z[:-1]])
         row = jnp.maximum(gx, excl - go - ge * (jcol - 1))
-        if local:
-            masked = jnp.where(
-                jnp.logical_and(col_valid, i <= m), row, PAD_SCORE
-            )
+        if local or semi:
+            track_row = i <= m if local else i == m
+            ok = jnp.logical_and(col_valid, track_row)
+            if semi:
+                ok = jnp.logical_and(ok, jcol >= 1)
+            # semi masks with neg, not PAD_SCORE: unclamped last-row
+            # values can undercut PAD_SCORE on huge pairs (local rows
+            # are clamped >= 0, so PAD_SCORE is safe there).
+            masked = jnp.where(ok, row, neg if semi else PAD_SCORE)
             row_max = jnp.max(masked)
             row_arg = jnp.argmax(masked).astype(_INT)
             improved = row_max > best
@@ -346,12 +357,13 @@ def affine_score_fill(profile: jax.Array, pattern: jax.Array,
 
     xs = (pattern.astype(_INT), jnp.arange(1, m_pad + 1, dtype=_INT))
     init_result = jax.lax.dynamic_index_in_dim(row0, n, keepdims=False)
+    best0 = jnp.asarray(0 if local else -(1 << 29), _INT)
     (_, _, result, best, best_idx), _ = jax.lax.scan(
         step,
-        (row0, f0, init_result, jnp.asarray(0, _INT), jnp.asarray(0, _INT)),
+        (row0, f0, init_result, best0, jnp.asarray(0, _INT)),
         xs,
     )
-    if local:
+    if local or semi:
         return best, best_idx
     return result, jnp.asarray(0, _INT)
 

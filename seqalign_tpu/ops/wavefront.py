@@ -498,7 +498,6 @@ def wavefront_strip(text_steps, bottom_in, pattern_slots, score_matrix,
     # strip-0 bottom_in) with local-style max tracking masked to the last
     # pattern row — score = first max of row m.
     assert not (semi and local)
-    assert not (semi and affine)
     has_left = left_in is not None
     kernel = functools.partial(
         _wavefront_kernel, k_alpha, local, with_dirs, rps, ckpt_every,

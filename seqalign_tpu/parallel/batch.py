@@ -97,11 +97,12 @@ class BatchAligner:
         # gap_penalty + (L-1)*gap_extend; requires gap_penalty >=
         # gap_extend.  None = the reference's linear model.
         # semi: semi-global ("fit") scoring — mutually exclusive with
-        # local; affine semi is not supported.
+        # local; composes with gap_extend (affine fit, oracle algo=2).
+        config.enable_compile_cache()
         if gap_extend is not None and gap_penalty < gap_extend:
             raise ValueError("affine gaps require gap_penalty >= gap_extend")
-        if semi and (local or gap_extend is not None):
-            raise ValueError("semi is exclusive with local/affine")
+        if semi and local:
+            raise ValueError("semi is exclusive with local")
         sm = np.asarray(score_matrix, dtype=np.int32).reshape(-1)[
             : alphabet_size * alphabet_size
         ].reshape(alphabet_size, alphabet_size)

@@ -275,22 +275,24 @@ def test_affine_cli(monkeypatch):
     assert response_tuple(cpu) == response_tuple(tpu)
 
 
-def test_affine_semi_global_tpu_errors():
-    import io as _io
-
-    from seqalign_tpu import api, constants
+def test_affine_semi_global_cpu_tpu_identical(monkeypatch):
+    # Affine semi-global ("fit", algo=2) runs on both devices and the
+    # engines agree byte-for-byte (round 2 rejected the combination
+    # with AFFINE_SEMI_ERROR; round 3 implements it across the oracle
+    # and every accelerator engine).
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
     from seqalign_tpu.constants import AlignmentType, Device
-    from seqalign_tpu.types import Response
 
-    from .helpers import request_from_strings
+    from .helpers import request_from_strings, response_tuple, run
 
-    request = request_from_strings("ATCGATCG", "ATCG")
+    request = request_from_strings("ATCGATTACAGGATCG", "GATTACA")
     request.alignment_type = AlignmentType.SEMI_GLOBAL
     request.gap_extend = 2
-    request.device_type = Device.TPU
-    err = _io.StringIO()
-    assert api.align(request, Response(), err=err) == 1
-    assert err.getvalue() == constants.AFFINE_SEMI_ERROR
+    request.gap_penalty = 6
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
+    assert cpu.score == 35  # exact GATTACA fit: 7 matches * 5
 
 
 def test_affine_checkpoint_fuzz_matches_oracle(monkeypatch):
@@ -301,23 +303,26 @@ def test_affine_checkpoint_fuzz_matches_oracle(monkeypatch):
 
     rng = np.random.default_rng(33)
     sm = np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
-    for trial in range(4):
+    for trial in range(6):
         n = int(rng.integers(2049, 4200))
         m = int(rng.integers(64, 1300))
         open_ = int(rng.integers(2, 10))
         ext = int(rng.integers(1, min(open_, 5)))
-        local = bool(trial % 2)
+        # Cycle global / local / semi-global (algo 0 / 1 / 2).
+        algo = trial % 3
+        local = algo == 1
+        semi = algo == 2
         t = rng.integers(0, 4, n).astype(np.int32)
         p = rng.integers(0, 4, m).astype(np.int32)
         score, _, _, at, ap, st, sp = checkpoint.checkpointed_align(
-            t, p, sm, 4, open_, local=local, gap_extend=ext,
+            t, p, sm, 4, open_, local=local, semi=semi, gap_extend=ext,
             ckpt_cols=2048, rps=1, slots=1024,
         )
         oat, oap, ost, osp, oscore = bindings.oracle_align_affine(
-            1 if local else 0, t.astype(np.int8), p.astype(np.int8),
+            algo, t.astype(np.int8), p.astype(np.int8),
             sm, 4, open_, ext,
         )
-        assert score == oscore, (trial, n, m, open_, ext, local)
+        assert score == oscore, (trial, n, m, open_, ext, algo)
         np.testing.assert_array_equal(at, oat)
         np.testing.assert_array_equal(ap, oap)
         assert (st, sp) == (ost, osp)
