@@ -130,19 +130,23 @@ class BatchAligner:
         ]
 
     def score(self, texts: Sequence[np.ndarray],
-              patterns: Sequence[np.ndarray]) -> np.ndarray:
-        """Scores for all pairs; order preserved. Pairs where the pattern
-        is longer than the text are swapped internally — for global/local
-        the DP is symmetric up to that swap (the same swap the CLI
-        performs); for semi-global the swap changes which sequence gets
-        the free end-gaps, so semi batches always fit the *shorter*
-        sequence into the longer one, matching the CLI's behavior on the
-        same pair of files."""
+              patterns: Sequence[np.ndarray], *,
+              swap: bool = True) -> np.ndarray:
+        """Scores for all pairs; order preserved. By default, pairs
+        where the pattern is longer than the text are swapped internally
+        — for global/local the DP is symmetric up to that swap (the same
+        swap the CLI performs); for semi-global the swap changes which
+        sequence gets the free end-gaps, so semi batches always fit the
+        *shorter* sequence into the longer one, matching the CLI's
+        behavior on the same pair of files.  Pass swap=False to score
+        pairs exactly as given — the orientation align() always uses —
+        so mixed score()/align() callers see consistent results."""
         texts = [np.asarray(t, dtype=np.int32) for t in texts]
         patterns = [np.asarray(p, dtype=np.int32) for p in patterns]
-        for i in range(len(texts)):
-            if texts[i].shape[0] < patterns[i].shape[0]:
-                texts[i], patterns[i] = patterns[i], texts[i]
+        if swap:
+            for i in range(len(texts)):
+                if texts[i].shape[0] < patterns[i].shape[0]:
+                    texts[i], patterns[i] = patterns[i], texts[i]
 
         out = np.zeros(len(texts), dtype=np.int32)
         # The inter-pair Pallas kernel wants 1024 pairs per device shard;
@@ -214,12 +218,15 @@ class BatchAligner:
         can only loop requests one at a time
         (tests/benchmarks.cu:271-332).
 
-        Unlike score(), pairs are aligned exactly as given (no internal
-        text/pattern swap — the tie policy is orientation-sensitive, so
-        a swap would change the optimal alignment reported; callers
-        wanting the CLI's longer-first convention should swap before the
-        call).  Returns a list of AlignmentResult (alphabet indices,
-        gap == alphabet size), byte-identical to the CPU oracle.
+        Unlike score()'s default, pairs are aligned exactly as given (no
+        internal text/pattern swap — the tie policy is
+        orientation-sensitive, so a swap would change the optimal
+        alignment reported; callers wanting the CLI's longer-first
+        convention should swap before the call, and callers mixing the
+        two methods can pass score(..., swap=False) for matching
+        orientation).  Returns a list of AlignmentResult (alphabet
+        indices, gap == alphabet size), byte-identical to the CPU
+        oracle.
         """
         from ..models.base import AlignmentResult
         from ..native import bindings

@@ -90,3 +90,22 @@ def test_batch_aligner_swaps_shorter_text():
     got = aligner.score([text], [pattern])
     want = _oracle_scores([pattern], [text], sm, 5, 0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_batch_aligner_score_swap_false_matches_align_orientation():
+    # swap=False scores pairs exactly as given — the orientation align()
+    # uses — so mixed score()/align() callers agree even when the
+    # pattern is longer than the text (semi-global, where orientation
+    # decides which sequence gets the free end-gaps).
+    sm = _dna_matrix()
+    rng = np.random.default_rng(6)
+    texts = [rng.integers(0, 4, 40).astype(np.int32) for _ in range(3)]
+    patterns = [rng.integers(0, 4, 90).astype(np.int32) for _ in range(3)]
+    aligner = BatchAligner(sm, 4, gap_penalty=5, semi=True)
+    got = aligner.score(texts, patterns, swap=False)
+    want = _oracle_scores(texts, patterns, sm, 5, 2)
+    np.testing.assert_array_equal(got, want)
+    # Default swap orientation fits the shorter sequence instead.
+    swapped = aligner.score(texts, patterns)
+    want_swapped = _oracle_scores(patterns, texts, sm, 5, 2)
+    np.testing.assert_array_equal(swapped, want_swapped)

@@ -94,18 +94,22 @@ def test_batch_align_protein_and_gap_grid():
             ) == (ost, osp)
 
 
-@pytest.mark.parametrize("local", [False, True])
-def test_batch_align_affine_matches_oracle(local):
+@pytest.mark.parametrize("mode", [{}, {"local": True}, {"semi": True}])
+def test_batch_align_affine_matches_oracle(mode):
     # Affine (Gotoh) batched end-to-end: dirs + continuation bitplane +
-    # three-state lockstep walk vs sa_align_affine, per pair.
+    # three-state lockstep walk vs sa_align_affine, per pair — all three
+    # algorithms (semi+affine is the round-3 combination).
     rng = np.random.default_rng(25)
     sm = _dna_sm()
     texts, patterns = _random_pairs(rng, 10)
-    aligner = BatchAligner(sm, 4, 6, local=local, gap_extend=2)
+    if mode.get("semi"):
+        texts = [np.concatenate([t, t]) for t in texts]
+    aligner = BatchAligner(sm, 4, 6, gap_extend=2, **mode)
     results = aligner.align(texts, patterns)
+    algo = 2 if mode.get("semi") else (1 if mode.get("local") else 0)
     for t, p, r in zip(texts, patterns, results):
         oat, oap, ost, osp, oscore = bindings.oracle_align_affine(
-            1 if local else 0, t.astype(np.int8), p.astype(np.int8),
+            algo, t.astype(np.int8), p.astype(np.int8),
             sm, 4, 6, 2,
         )
         assert r.score == oscore, (t.shape, p.shape)
@@ -159,7 +163,9 @@ def test_batch_align_multigroup_walk(monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "mode", [{}, {"local": True}, {"semi": True}, {"gap_extend": 2}]
+    "mode",
+    [{}, {"local": True}, {"semi": True}, {"gap_extend": 2},
+     {"semi": True, "gap_extend": 2}],
 )
 def test_batch_pallas_walker_matches_lockstep(mode, monkeypatch):
     # The per-pair in-kernel walker must produce byte-identical
