@@ -53,6 +53,11 @@ _INT = jnp.int32
 SLOTS = 1024           # vector slots (8 sublanes x 128 lanes)
 ROWS_PER_SLOT = 8      # DP rows per slot ("R"); strip = R * 1024 rows
 STEPS = 256            # sweep steps per grid block (multiple of 16)
+# Geometries at/above this rps run the word body as two half-unrolled
+# fori trips instead of one fully unrolled 16-step body — the Mosaic
+# backend dies on the 16 x 32-cell body (BENCH_NOTES rps=32 analysis).
+# Kernels below the threshold trace EXACTLY as before (cache-valid).
+SPLIT_BODY_RPS = 32
 DIR_STEPS_PER_WORD = 16
 
 
@@ -201,12 +206,17 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
         else []
     )
 
-    def word_fn(k16, carry):
-        (curs, topsh, w, coll, accs, ajs, snap, cks,
-         evecs, flast, fcoll, ckse) = carry
-        words = [jnp.zeros((srows, 128), _INT)] * rps
-        words2 = [jnp.zeros((srows, 128), _INT)] * rps
-        for u in range(unroll):
+    def micro_steps(k16, h, inner, state):
+        """inner consecutive sweep steps starting at step h*inner of
+        word k16.  h == Python 0 with inner == unroll is the fully
+        unrolled path (trace-identical to rounds 1-2, keeping compiled
+        executables cache-valid for rps <= 16); a traced h with
+        inner == unroll//2 halves the unrolled body for deep rps
+        geometries (see BENCH_NOTES rps=32 root-cause analysis)."""
+        (words, words2, curs, topsh, w, coll, accs, ajs, snap, cks,
+         evecs, flast, fcoll, ckse) = state
+        for uu in range(inner):
+            u = h * inner + uu  # Python int on the static (h == 0) path
             k = k16 * unroll + u
             t = g_blk * STEPS + k
             jvec = t - slot + 1
@@ -275,7 +285,12 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                     ).astype(_INT)
                     if local:
                         d = jnp.where(best > 0, d, 3)
-                    words[r] = d if u == 0 else words[r] | (d << (2 * u))
+                    if isinstance(u, int):
+                        words[r] = (
+                            d if u == 0 else words[r] | (d << (2 * u))
+                        )
+                    else:  # traced step offset (split body)
+                        words[r] = words[r] | (d << (2 * u))
                     if affine:
                         # Run-continuation bits: the oracle's traceback
                         # stays in a gap run iff extending strictly
@@ -284,9 +299,13 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                         eb = (e_ext > e_open).astype(_INT)
                         fb = (f_ext > f_open).astype(_INT)
                         d2 = eb | (fb << 1)
-                        words2[r] = (
-                            d2 if u == 0 else words2[r] | (d2 << (2 * u))
-                        )
+                        if isinstance(u, int):
+                            words2[r] = (
+                                d2 if u == 0
+                                else words2[r] | (d2 << (2 * u))
+                            )
+                        else:
+                            words2[r] = words2[r] | (d2 << (2 * u))
 
                 if affine:
                     evecs[r] = jnp.where(started, e_new, evecs[r])
@@ -335,6 +354,29 @@ def _wavefront_kernel(k_alpha: int, local: bool, with_dirs: bool, rps: int,
                 fcoll = jnp.where(
                     pos_last, flast, pltpu.roll(fcoll, 127, axis=1)
                 )
+        return (words, words2, curs, topsh, w, coll, accs, ajs, snap,
+                cks, evecs, flast, fcoll, ckse)
+
+    def word_fn(k16, carry):
+        (curs, topsh, w, coll, accs, ajs, snap, cks,
+         evecs, flast, fcoll, ckse) = carry
+        words = [jnp.zeros((srows, 128), _INT)] * rps
+        words2 = [jnp.zeros((srows, 128), _INT)] * rps
+        state = (words, words2, curs, topsh, w, coll, accs, ajs, snap,
+                 cks, evecs, flast, fcoll, ckse)
+        if rps >= SPLIT_BODY_RPS:
+            # Halved unrolled body inside a 2-trip loop: at rps >= 32
+            # the fully unrolled 16-step body (16 x rps cells) crashes
+            # the Mosaic backend (BENCH_NOTES rps=32 analysis).
+            state = jax.lax.fori_loop(
+                0, 2,
+                lambda h, s: micro_steps(k16, h, unroll // 2, s),
+                state,
+            )
+        else:
+            state = micro_steps(k16, 0, unroll, state)
+        (words, words2, curs, topsh, w, coll, accs, ajs, snap, cks,
+         evecs, flast, fcoll, ckse) = state
 
         if with_dirs:
             for r in range(rps):

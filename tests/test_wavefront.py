@@ -27,7 +27,9 @@ def _skew_dirs(words, steps_pad, rps, m, n, slots=SLOTS):
 
 
 @pytest.mark.parametrize("local", [False, True])
-@pytest.mark.parametrize("rps", [1, 8])
+# rps=32 exercises the split word body (SPLIT_BODY_RPS — two
+# half-unrolled fori trips instead of one 16-step unroll).
+@pytest.mark.parametrize("rps", [1, 8, 32])
 def test_wavefront_matches_oracle(local, rps):
     rng = np.random.default_rng(17 + rps)
     sm = _dna_sm()
