@@ -37,7 +37,10 @@ import subprocess
 import sys
 
 BASELINE_GCUPS = 14.354
-CACHE_DIR = "/tmp/jax_comp_cache"
+# Persistent compile cache: config.enable_compile_cache() (default
+# /tmp/jax_comp_cache; SEQALIGN_COMPILE_CACHE overrides) — the same
+# cache every other entry path (CLI, batch API) points at, so warm
+# runs here warm the cache those paths read.
 
 # (name, deadline_seconds).  Deadlines are sized so a fully cold Mosaic
 # compile (~3-6 min via the remote AOT helper) still fits, while a
@@ -57,10 +60,9 @@ def _measure(name: str) -> None:
     import jax
     import jax.numpy as jnp
 
-    try:  # persistent compile cache (best-effort)
-        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-    except Exception:
-        pass
+    from seqalign_tpu import config as sa_config
+
+    sa_config.enable_compile_cache()
 
     from seqalign_tpu.parallel.mesh import maybe_initialize_distributed
 

@@ -31,10 +31,9 @@ def main() -> int:
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    except Exception:
-        pass
+    from seqalign_tpu import config as sa_config
+
+    sa_config.enable_compile_cache()
 
     from seqalign_tpu.ops import checkpoint
 

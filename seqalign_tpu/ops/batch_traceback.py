@@ -184,14 +184,23 @@ def batch_device_traceback(dirs, ns, ms, bis, bjs,
     return out, k, i, j
 
 
-def _batch_walker_kernel(groups: int, w_rows: int, n_blks: int,
+def _batch_walker_kernel(groups: int, w_rows: int,
                          local: bool, semi: bool, affine: bool,
                          scal_ref, *refs):
     """Walk ONE pair per grid step: DMA a rolling word-row window of the
     pair's pair-major direction words into VMEM and chase the path with
     in-VMEM scalar reads (the single-pair walker's protocol,
     ops/pallas_walk.py, at ~0.2 us/move) — beats the lockstep XLA gather
-    walk (~26 us/lockstep step) whenever the batch is small."""
+    walk (~26 us/lockstep step) whenever the batch is small.
+
+    The move/stop/tie state machine here (d_read override by gap state,
+    first-row/column NW overrides, affine run-continuation bits) is one
+    of the walkers bound by the direction-word invariant (CLAUDE.md):
+    bit-identical to batch_device_traceback above, ops/pallas_walk.py
+    and the native walkers — change them together, parity-pinned by
+    tests/test_batch_align.py::test_batch_pallas_walker_matches_lockstep.
+    The window indexing differs by design (pair-major words here,
+    skewed single-pair words there), so the kernels stay separate."""
     refs = list(refs)
     dirs_hbm = refs.pop(0)
     dirs2_hbm = refs.pop(0) if affine else None
@@ -390,7 +399,7 @@ def batch_pallas_traceback(dirs, ns, ms, bis, bjs,
 
     mv_words = max_len // 16
     kernel = functools.partial(
-        _batch_walker_kernel, groups, w_rows, n_blks, local, semi, affine
+        _batch_walker_kernel, groups, w_rows, local, semi, affine
     )
     in_specs = [
         pl.BlockSpec((1, 3), lambda p: (p, 0), memory_space=pltpu.SMEM),

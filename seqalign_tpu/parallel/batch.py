@@ -119,8 +119,15 @@ class BatchAligner:
 
     def _buckets(self, texts: Sequence[np.ndarray],
                  patterns: Sequence[np.ndarray]) -> list[_Bucket]:
+        """Group non-degenerate pairs by padded shape.  Pairs with an
+        empty text or pattern are excluded — the device fills' masking
+        assumes n, m >= 1 (e.g. the affine-semi last-row mask never
+        fires at n == 0) — and are scored/aligned via the oracle by the
+        callers instead."""
         groups: dict[tuple[int, int], list[int]] = {}
         for i, (t, p) in enumerate(zip(texts, patterns)):
+            if len(t) == 0 or len(p) == 0:
+                continue
             n_pad = scan_engine.padded_width(len(t)) - 1
             m_pad = scan_engine.padded_rows(len(p))
             groups.setdefault((n_pad, m_pad), []).append(i)
@@ -128,6 +135,47 @@ class BatchAligner:
             _Bucket(indices=idx, n_pad=k[0], m_pad=k[1])
             for k, idx in sorted(groups.items())
         ]
+
+    def _oracle_degenerate(self, out, results, texts, patterns):
+        """Fill empty-sequence pairs from the native oracle (the
+        source of truth for the score/alignment contract on ALL
+        inputs, sa_fill / sa_fill_affine handle n == 0 / m == 0)."""
+        from ..models.base import AlignmentResult
+        from ..native import bindings
+
+        algo = 2 if self.semi else (1 if self.local else 0)
+        sm = np.asarray(self.score_matrix)
+        k = sm.shape[0]
+        for i, (t, p) in enumerate(zip(texts, patterns)):
+            if len(t) != 0 and len(p) != 0:
+                continue
+            t8, p8 = t.astype(np.int8), p.astype(np.int8)
+            if self.gap_extend is not None:
+                if out is not None:
+                    out[i], _ = bindings.oracle_fill_affine(
+                        algo, t8, p8, sm, k, self.gap_penalty,
+                        self.gap_extend,
+                    )
+                else:
+                    at, ap, st, sp, score = bindings.oracle_align_affine(
+                        algo, t8, p8, sm, k, self.gap_penalty,
+                        self.gap_extend,
+                    )
+            else:
+                if out is not None:
+                    _, out[i], _ = bindings.oracle_fill(
+                        algo, t8, p8, sm, k, self.gap_penalty
+                    )
+                else:
+                    at, ap, st, sp, score = bindings.oracle_align(
+                        algo, t8, p8, sm, k, self.gap_penalty
+                    )
+            if out is None:
+                results[i] = AlignmentResult(
+                    aligned_text=at, aligned_pattern=ap,
+                    start_in_aligned_text=st,
+                    start_in_aligned_pattern=sp, score=score,
+                )
 
     def score(self, texts: Sequence[np.ndarray],
               patterns: Sequence[np.ndarray], *,
@@ -149,6 +197,7 @@ class BatchAligner:
                     texts[i], patterns[i] = patterns[i], texts[i]
 
         out = np.zeros(len(texts), dtype=np.int32)
+        self._oracle_degenerate(out, None, texts, patterns)
         # The inter-pair Pallas kernel wants 1024 pairs per device shard;
         # the XLA fallback only needs device divisibility.
         quantum = self.mesh.size * (
@@ -258,8 +307,11 @@ class BatchAligner:
             return out
 
         results: list = [None] * len(texts)
+        self._oracle_degenerate(None, results, texts, patterns)
         groups: dict[tuple[int, int], list[int]] = {}
         for i, (t, p) in enumerate(zip(texts, patterns)):
+            if len(t) == 0 or len(p) == 0:
+                continue
             n_pad = max(16, -(-len(t) // 16) * 16)
             m_pad = max(16, -(-len(p) // 16) * 16)
             groups.setdefault((n_pad, m_pad), []).append(i)

@@ -111,7 +111,11 @@ def sequence_parallel_checkpointed_fill(
     num_chunks = max(1, -(-n // ckpt_cols))
     tile_blocks = -(-(ckpt_cols + slots - 1) // wavefront.STEPS)
     tile_steps = tile_blocks * wavefront.STEPS
-    supersteps = num_chunks + d_count - 1
+    # Device d works chunk c = s - d; devices beyond num_strips hold
+    # padding strips whose outputs are discarded, so the pipeline only
+    # needs the last REAL strip (d = num_strips - 1) to reach the last
+    # chunk — matching estimated_speedup's critical-path model.
+    supersteps = num_chunks + num_strips - 1
     snap_chunk = max(0, (n - 1) // ckpt_cols)
 
     l_pad = (num_chunks - 1) * ckpt_cols + tile_steps

@@ -92,6 +92,50 @@ def test_batch_aligner_swaps_shorter_text():
     np.testing.assert_array_equal(got, want)
 
 
+def test_batch_aligner_empty_pairs_match_oracle():
+    # Empty texts/patterns bypass the device fill (whose masking assumes
+    # n, m >= 1 — e.g. the affine-semi last-row mask never fires at
+    # n == 0) and come from the oracle, for every mode combination.
+    from seqalign_tpu.native import bindings
+
+    sm = _dna_matrix()
+    rng = np.random.default_rng(7)
+    seq = rng.integers(0, 4, 30).astype(np.int32)
+    empty = np.array([], dtype=np.int32)
+    texts = [empty, seq, empty]
+    patterns = [seq, empty, empty]
+    for mode in ({}, {"local": True}, {"semi": True},
+                 {"gap_extend": 2}, {"semi": True, "gap_extend": 2}):
+        aligner = BatchAligner(sm, 4, gap_penalty=5, **mode)
+        got = aligner.score(texts, patterns, swap=False)
+        algo = 2 if mode.get("semi") else (1 if mode.get("local") else 0)
+        for i, (t, p) in enumerate(zip(texts, patterns)):
+            if "gap_extend" in mode:
+                want, _ = bindings.oracle_fill_affine(
+                    algo, t.astype(np.int8), p.astype(np.int8), sm, 4,
+                    5, mode["gap_extend"],
+                )
+            else:
+                _, want, _ = bindings.oracle_fill(
+                    algo, t.astype(np.int8), p.astype(np.int8), sm, 4, 5
+                )
+            assert int(got[i]) == int(want), (mode, i)
+        results = aligner.align(texts, patterns)
+        for i, (t, p) in enumerate(zip(texts, patterns)):
+            if "gap_extend" in mode:
+                at, ap, st, sp, sc = bindings.oracle_align_affine(
+                    algo, t.astype(np.int8), p.astype(np.int8), sm, 4,
+                    5, mode["gap_extend"],
+                )
+            else:
+                at, ap, st, sp, sc = bindings.oracle_align(
+                    algo, t.astype(np.int8), p.astype(np.int8), sm, 4, 5
+                )
+            assert results[i].score == sc, (mode, i)
+            np.testing.assert_array_equal(results[i].aligned_text, at)
+            np.testing.assert_array_equal(results[i].aligned_pattern, ap)
+
+
 def test_batch_aligner_score_swap_false_matches_align_orientation():
     # swap=False scores pairs exactly as given — the orientation align()
     # uses — so mixed score()/align() callers agree even when the
