@@ -111,9 +111,17 @@ def align_tpu(request: Request, response: Response,
         # A device-side allocation failure surfaces as an XLA
         # RESOURCE_EXHAUSTED JaxRuntimeError; map it to the reference's
         # MEM_ERROR (the GPU path prints it on cudaMalloc failure,
-        # alignSequenceGPU.cu:502-546).
+        # alignSequenceGPU.cu:502-546).  An unusable accelerator
+        # backend gets the same mapping: on a no-GPU host the
+        # reference's cudaMallocs fail and it prints MEM_ERROR too
+        # (alignSequenceGPU.cu:541-546) — a clean exit 1, not a crash.
         msg = str(e)
-        if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+        if (
+            "RESOURCE_EXHAUSTED" in msg
+            or "out of memory" in msg.lower()
+            or "Unable to initialize backend" in msg
+            or "UNAVAILABLE" in msg
+        ):
             err.write(constants.MEM_ERROR)
             return 1
         raise

@@ -87,3 +87,27 @@ def test_device_oom_maps_to_mem_error(monkeypatch):
     rc = api.align(request, Response(), err=err)
     assert rc == 1
     assert err.getvalue() == constants.MEM_ERROR
+
+
+def test_backend_unavailable_maps_to_mem_error(monkeypatch):
+    """An unusable accelerator backend exits 1 with the reference's
+    MEM_ERROR (on a no-GPU host the reference's cudaMallocs fail and it
+    prints MEM_ERROR, alignSequenceGPU.cu:541-546) — never a traceback."""
+    import seqalign_tpu.models as models
+
+    class _Down:
+        def align(self, *a, **k):
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE: TPU "
+                "backend setup/compile error (Unavailable)."
+            )
+
+    monkeypatch.setattr(models, "aligner_for", lambda _t: _Down())
+    request = request_from_strings("ATCGATCG", "ATCG")
+    request.device_type = Device.TPU
+    err = capture_stderr()
+    from seqalign_tpu.types import Response
+
+    rc = api.align(request, Response(), err=err)
+    assert rc == 1
+    assert err.getvalue() == constants.MEM_ERROR
