@@ -295,6 +295,23 @@ def test_affine_semi_global_cpu_tpu_identical(monkeypatch):
     assert cpu.score == 35  # exact GATTACA fit: 7 matches * 5
 
 
+def test_affine_semi_global_xla_engine_matches_cpu(monkeypatch):
+    # The portable XLA engine has no affine traceback; SemiGlobal.align
+    # routes affine fit to the native oracle there — same bytes out.
+    monkeypatch.setenv("SEQALIGN_ENGINE", "xla")
+    from seqalign_tpu.constants import AlignmentType, Device
+
+    from .helpers import request_from_strings, response_tuple, run
+
+    request = request_from_strings("ATCGATTACAGGATCG", "GATTACA")
+    request.alignment_type = AlignmentType.SEMI_GLOBAL
+    request.gap_extend = 2
+    request.gap_penalty = 6
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert response_tuple(cpu) == response_tuple(tpu)
+
+
 def test_affine_checkpoint_fuzz_matches_oracle(monkeypatch):
     # Randomized affine alignments through the checkpointed wavefront
     # engine (multi-tile paths), byte-compared to sa_align_affine.
