@@ -57,7 +57,6 @@ def _measure(name: str) -> None:
     """Child process: measure one candidate, print the JSON line."""
     import numpy as np
 
-    import jax
     import jax.numpy as jnp
 
     from seqalign_tpu import config as sa_config

@@ -34,8 +34,6 @@ def main() -> int:
     parser.add_argument("--skip-checkpoint", action="store_true")
     args = parser.parse_args()
 
-    import jax
-
     from seqalign_tpu import config as sa_config
 
     sa_config.enable_compile_cache()

@@ -29,8 +29,6 @@ def main() -> int:
     parser.add_argument("--repeats", type=int, default=2)
     args = parser.parse_args()
 
-    import jax
-
     from seqalign_tpu import config as sa_config
 
     sa_config.enable_compile_cache()
