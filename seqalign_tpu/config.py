@@ -122,6 +122,20 @@ def enable_compile_cache() -> None:
         pass
 
 
+def int16_cells() -> str:
+    """int16 cell mode of the batched score fill (ops/pallas_fill.py,
+    two DP cells per 32-bit VPU lane): "auto" routes eligible buckets
+    (int16_cells_ok over the padded shapes) to the int16 kernel, "0"
+    never, "1" asserts eligibility.  Default off until the mode is
+    validated on the real chip (the Mosaic backend has rejected other
+    legal kernel variants; see BENCH_NOTES on rps=32).
+    SEQALIGN_INT16_CELLS overrides."""
+    forced = os.environ.get("SEQALIGN_INT16_CELLS", "").lower()
+    if forced in ("0", "1", "auto"):
+        return forced
+    return "0"
+
+
 def batch_walker_max_pairs() -> int:
     """Per-device pair-count ceiling for routing a batch traceback slice
     to the per-pair in-kernel Pallas walker (ops/batch_traceback.py)

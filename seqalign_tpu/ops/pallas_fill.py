@@ -84,6 +84,46 @@ def pack_score_matrix_traced(score_matrix, k_alpha: int) -> jax.Array:
     )
 
 
+def pack_score_matrix_traced_16(score_matrix, k_alpha: int) -> jax.Array:
+    """2-bytes-per-plane packing for the int16 cell kernel.
+
+    Planes stay int32 (SMEM scalars) but hold sign-extended int16 values
+    (the kernel broadcasts each plane as an int32 vector, then narrows
+    to int16 once per row — exact because the value round-trips)."""
+    n_planes = -(-k_alpha // 2)
+    sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
+    biased = jnp.full((k_alpha, 2 * n_planes), SUB_BIAS, _INT)
+    biased = biased.at[:, :k_alpha].set(sm + SUB_BIAS)
+    planes = biased.reshape(k_alpha, n_planes, 2)
+    packed = planes[:, :, 0] | (planes[:, :, 1] << 8)
+    return packed.astype(jnp.int16).astype(_INT)
+
+
+# int16 cell mode: DP values live in int16 vectors (TPU packs two 16-bit
+# lanes per 32-bit VPU lane, doubling the elementwise issue rate — the
+# fill is VPU-issue-bound, see BENCH_NOTES MFU table).  -inf sentinels
+# sit at -2^14; real DP values must stay strictly above them and clear
+# of int16 wraparound, so the mode is gated on a conservative magnitude
+# bound over the PADDED shapes (padding slots run the same recurrence).
+NEG_16 = -(1 << 14)
+INT16_VALUE_CAP = 15_800  # NEG_16 head/tailroom: bound + open + sub < 16384
+
+
+def int16_cells_ok(n_pad: int, m_pad: int, score_matrix, k_alpha: int,
+                   gap, gap_extend=None) -> bool:
+    """True when every DP value of every mode fits the int16 cell kernel.
+
+    Conservative bound over the padded widths: |v| <= max|sub|*min(n,m)
+    + max(open, extend)*(n+m).  Requires concrete (non-traced) inputs.
+    """
+    sm = np.asarray(score_matrix)[:k_alpha, :k_alpha]
+    max_sub = int(np.abs(sm).max(initial=0))
+    g = abs(int(gap))
+    ge = abs(int(gap_extend)) if gap_extend is not None else g
+    bound = max_sub * min(n_pad, m_pad) + max(g, ge) * (n_pad + m_pad)
+    return bound <= INT16_VALUE_CAP
+
+
 def _use_packed_subs(k_alpha: int) -> bool:
     """Packed lookup wins for big alphabets (protein: 2.6x on the batch
     kernel); for k <= 4 the plain (k-1)-deep select chain is faster than
@@ -101,6 +141,23 @@ def _packed_lookup(planes: list, letter: jax.Array) -> jax.Array:
         for q in range(n_planes - 1):
             plane = jnp.where(lq == q, planes[q], plane)
         lsh = (letter & 3) << 3
+    else:
+        lsh = letter << 3
+    return ((plane >> lsh) & 0xFF) - SUB_BIAS
+
+
+def _packed_lookup16(planes: list, letter: jax.Array) -> jax.Array:
+    """Substitution score for int16 vector ``letter`` from 2-byte planes.
+
+    ``plane >> 8`` sign-extends (planes are sign-correct int16), so the
+    ``& 0xFF`` mask recovers the biased high byte exactly."""
+    n_planes = len(planes)
+    plane = planes[n_planes - 1]
+    if n_planes > 1:
+        lq = letter >> 1
+        for q in range(n_planes - 1):
+            plane = jnp.where(lq == q, planes[q], plane)
+        lsh = (letter & 1) << 3
     else:
         lsh = letter << 3
     return ((plane >> lsh) & 0xFF) - SUB_BIAS
@@ -125,7 +182,7 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                       sub_rows: int, affine: bool, semi: bool,
-                      with_dirs: bool,
+                      with_dirs: bool, cell16: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
                       out_ref, dirs_ref, dirs2_ref, row_ref, f_ref,
                       state_scr):
@@ -145,13 +202,39 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     16w+1..16w+16 at column j+1, the pair-batched analog of the strip
     kernel's format), plus per-pair best-cell tracking (row-major first
     occurrence, strict improvement — alignSequenceCPU.cpp:191-192).
+
+    cell16 (score-only): DP values, letters and substitution planes live
+    in int16 vectors (2 lanes per 32-bit VPU lane, ~2x the elementwise
+    issue rate).  Length masks stay int32; per-row scalar work stays
+    int32 and is narrowed to int16 vectors once per row.  Callers must
+    gate on :func:`int16_cells_ok`.
     """
+    assert not (cell16 and with_dirs), "int16 mode is score-only"
+    cdt = jnp.int16 if cell16 else _INT
+    neg_cell = NEG_16 if cell16 else NEG_INF
     g = gap_ref[0, 0]   # gap penalty (affine: gap-open)
     ge = gap_ref[0, 1]  # gap-extend (affine only)
     nvec = ns_ref[0]  # (sub_rows, 128)
     mvec = ms_ref[0]
-    zero = jnp.zeros((sub_rows, 128), _INT)
-    neg = jnp.full((sub_rows, 128), NEG_INF // 2, _INT)
+    zero = jnp.zeros((sub_rows, 128), cdt)
+    # int32 scalar staging vector; MUST alias `zero` on the int32 path so
+    # that trace (and thus the warmed compile cache) stays byte-identical.
+    zero32 = jnp.zeros((sub_rows, 128), _INT) if cell16 else zero
+    neg = jnp.full((sub_rows, 128), NEG_16 if cell16 else NEG_INF // 2, cdt)
+
+    def bcast(scalar):
+        # int32 scalar -> (sub_rows, 128) cell-dtype vector (per-row cost).
+        v = scalar + zero32
+        return v.astype(cdt) if cell16 else v
+
+    if cell16:
+        # Gap penalties as int16 vectors so the per-cell subtractions
+        # stay at the packed issue rate (int32 scalars would promote).
+        g_c = bcast(g)
+        ge_c = bcast(ge)
+    else:
+        g_c = g
+        ge_c = ge
     if with_dirs:
         w_blk = pl.program_id(1)
         num_w = pl.num_programs(1)
@@ -170,9 +253,9 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         if local or semi:
             row_ref[j] = zero
         elif affine:
-            row_ref[j] = (-g - ge * j) + zero
+            row_ref[j] = bcast(-g - ge * j)
         else:
-            row_ref[j] = (-g * (j + 1)) + zero
+            row_ref[j] = bcast(-g * (j + 1))
         if affine:
             f_ref[j] = neg
         return 0
@@ -189,8 +272,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     else:
         _init()
 
-    # sm_ref columns: packed planes (big alphabets) or raw scores (k<=4).
-    n_coef = -(-k_alpha // 4) if _use_packed_subs(k_alpha) else k_alpha
+    # sm_ref columns: packed planes (big alphabets; 2 bytes per int16
+    # plane in cell16 mode, 4 per int32 otherwise) or raw scores (k<=4).
+    if _use_packed_subs(k_alpha):
+        n_coef = -(-k_alpha // 2) if cell16 else -(-k_alpha // 4)
+    else:
+        n_coef = k_alpha
 
     def row_step(ri, carry):
         acc, bi, bj = carry
@@ -203,27 +290,28 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         # scores sm[pat, c].
         planes = []
         for q in range(n_coef):
-            cc = zero
+            cc = zero32
             for a in range(k_alpha):
                 cc = jnp.where(pat == a, sm_ref[a, q], cc)
-            planes.append(cc)
+            planes.append(cc.astype(cdt) if cell16 else cc)
 
         row_live = i <= mvec
         if local:
             s_i0 = s_im1_0 = zero
         elif affine:
             # H[i, 0] = -(open + (i-1)*extend); H[0, 0] = 0.
-            s_i0 = (-g - ge * (i - 1)) + zero
-            s_im1_0 = jnp.where(i == 1, zero, (-g - ge * (i - 2)) + zero)
+            s_i0 = bcast(-g - ge * (i - 1))
+            s_im1_0 = jnp.where(i == 1, zero, bcast(-g - ge * (i - 2)))
         else:
-            s_i0 = (-g * i) + zero
-            s_im1_0 = (-g * (i - 1)) + zero
+            s_i0 = bcast(-g * i)
+            s_im1_0 = bcast(-g * (i - 1))
 
         def cell_step(j, carry):
             left, diag_carry, e, acc, bi, bj = carry
             text_j = texts_ref[j]
             if _use_packed_subs(k_alpha):
-                sub = _packed_lookup(planes, text_j)
+                lookup = _packed_lookup16 if cell16 else _packed_lookup
+                sub = lookup(planes, text_j)
             else:
                 sub = planes[k_alpha - 1]
                 for c in range(k_alpha - 1):
@@ -231,16 +319,16 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             prev_j = row_ref[j]
             diag = diag_carry + sub
             if affine:
-                e_ext = e - ge
-                e_open = left - g
+                e_ext = e - ge_c
+                e_open = left - g_c
                 e = jnp.maximum(e_ext, e_open)
-                f_ext = f_ref[j] - ge
-                f_open = prev_j - g
+                f_ext = f_ref[j] - ge_c
+                f_open = prev_j - g_c
                 f = jnp.maximum(f_ext, f_open)
                 f_ref[j] = f
                 gap_best = jnp.maximum(e, f)
             else:
-                gap_best = jnp.maximum(prev_j, left) - g
+                gap_best = jnp.maximum(prev_j, left) - g_c
             cur = jnp.maximum(diag, gap_best)
             if local:
                 cur = jnp.maximum(cur, 0)
@@ -276,7 +364,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                     )
             if local:
                 ok = jnp.logical_and(j < nvec, row_live)
-                cand = jnp.where(ok, cur, NEG_INF)
+                cand = jnp.where(ok, cur, neg_cell)
                 if with_dirs:
                     improved = cand > acc
                     bi = jnp.where(improved, i, bi)
@@ -287,7 +375,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 ok = jnp.logical_and(
                     jnp.logical_and(row_live, i == mvec), j < nvec
                 )
-                cand = jnp.where(ok, cur, NEG_INF)
+                cand = jnp.where(ok, cur, neg_cell)
                 if with_dirs:
                     improved = cand > acc
                     bi = jnp.where(improved, i, bi)
@@ -318,7 +406,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     if with_dirs:
         acc0, bi0, bj0 = state_scr[0], state_scr[1], state_scr[2]
     else:
-        acc0, bi0, bj0 = jnp.full((sub_rows, 128), NEG_INF, _INT), zero, zero
+        acc0, bi0, bj0 = jnp.full((sub_rows, 128), neg_cell, cdt), zero, zero
     acc, bi, bj = jax.lax.fori_loop(
         1, rows_here + 1, row_step, (acc0, bi0, bj0)
     )
@@ -329,7 +417,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 
     def _finish():
         final = jnp.maximum(acc, 0) if local else acc
-        out_ref[0] = final
+        out_ref[0] = final.astype(_INT) if cell16 else final
         if with_dirs:
             out_ref[1] = bi
             out_ref[2] = bj
@@ -342,13 +430,16 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_alpha", "local", "semi", "tile_pairs", "interpret"),
+    static_argnames=(
+        "k_alpha", "local", "semi", "tile_pairs", "cell16", "interpret"
+    ),
 )
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        k_alpha: int, local: bool = False,
                        semi: bool = False,
                        tile_pairs: int | None = None,
                        gap_extend=None,
+                       cell16: bool = False,
                        interpret: bool = False):
     """Optimal scores for a padded batch (inter-pair Pallas kernel).
 
@@ -365,6 +456,10 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
       gap_extend: when given, affine (Gotoh) gap costs — a run of length
         L costs gap + (L-1)*gap_extend (``gap`` is then the open cost);
         None keeps the reference's linear model.
+      cell16: run the DP in int16 vectors (~2x VPU issue rate, default
+        tile doubles to 8192 pairs at the same register footprint).
+        Caller must gate on :func:`int16_cells_ok` over the PADDED
+        widths or scores silently wrap.
 
     Returns (B,) int32 scores.
     """
@@ -374,20 +469,23 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         # Bigger tiles amortize the per-cell dependency-chain latency
         # over more vector registers: 4096 pairs/step measures 651 GCUPS
         # vs 119 at 1024 (DNA SW 512^2); 8192 regresses (VMEM pressure).
-        tile_pairs = next(
-            t for t in (4096, 2048, 1024, 512, 256, 128) if b % t == 0
+        # int16 cells are half-width, so the sweet spot doubles.
+        tiles = (8192, 4096, 2048, 1024, 512, 256, 128) if cell16 else (
+            4096, 2048, 1024, 512, 256, 128
         )
+        tile_pairs = next(t for t in tiles if b % t == 0)
     assert tile_pairs % 128 == 0
     assert b % tile_pairs == 0, f"batch {b} not a multiple of {tile_pairs}"
     num_tiles = b // tile_pairs
     sub_rows = tile_pairs // 128
+    cdt = jnp.int16 if cell16 else _INT
 
     # Pair-major -> slot-major: (tiles, N, sub_rows, 128) so each kernel
     # read of texts[j] is one dense (sub_rows, 128) vector of tile_pairs
     # pairs' letters.
     def to_slots(x, width):
         return (
-            x.astype(_INT)
+            x.astype(cdt)
             .reshape(num_tiles, tile_pairs, width)
             .transpose(0, 2, 1)
             .reshape(num_tiles * width, sub_rows, 128)
@@ -403,14 +501,17 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
          jnp.asarray(gap_extend if affine else gap, _INT)]
     ).reshape(1, 2)
     if _use_packed_subs(k_alpha):
-        sm = pack_score_matrix_traced(score_matrix, k_alpha)
+        if cell16:
+            sm = pack_score_matrix_traced_16(score_matrix, k_alpha)
+        else:
+            sm = pack_score_matrix_traced(score_matrix, k_alpha)
     else:
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        False,
+        False, cell16,
     )
     out, _, _ = pl.pallas_call(
         kernel,
@@ -437,8 +538,8 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
             jax.ShapeDtypeStruct((1, sub_rows, 128), _INT),  # dirs2 dummy
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, sub_rows, 128), _INT),
-            pltpu.VMEM((n if affine else 1, sub_rows, 128), _INT),
+            pltpu.VMEM((n, sub_rows, 128), cdt),
+            pltpu.VMEM((n if affine else 1, sub_rows, 128), cdt),
             pltpu.VMEM((1, sub_rows, 128), _INT),
         ],
         # Text/pattern blocks + row state scale with tile_pairs; lift the
@@ -521,7 +622,7 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        True,
+        True, False,
     )
     dirs_spec = pl.BlockSpec(
         (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)

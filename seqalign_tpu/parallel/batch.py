@@ -35,6 +35,25 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
     rep = P()
     use_pallas = config.use_pallas()
 
+    # int16 cell mode: two DP cells per 32-bit VPU lane when every value
+    # of the padded bucket provably fits (needs concrete matrix/gap —
+    # traced callers stay on int32).
+    cell16 = False
+    mode = config.int16_cells()
+    if use_pallas and mode != "0":
+        try:
+            cell16 = pallas_fill.int16_cells_ok(
+                texts.shape[1], patterns.shape[1], score_matrix,
+                score_matrix.shape[0], gap, gap_extend,
+            )
+        except Exception:
+            cell16 = False
+        if mode == "1" and not cell16:
+            raise ValueError(
+                "SEQALIGN_INT16_CELLS=1 but the padded shapes/scores "
+                "exceed the int16 value cap (int16_cells_ok is False)"
+            )
+
     def local_shard(t, p, n, m, sm):
         # The inter-pair kernel needs 128-multiple shards (use pad_batch
         # / BatchAligner for that); smaller shards fall back to the
@@ -43,7 +62,7 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
             return pallas_fill.batch_score_pallas(
                 t, p, n, m, sm, gap,
                 k_alpha=sm.shape[0], local=local, semi=semi,
-                gap_extend=gap_extend,
+                gap_extend=gap_extend, cell16=cell16,
                 interpret=config.pallas_interpret(),
             )
         return batch_score(
