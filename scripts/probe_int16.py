@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Real-chip validation + measurement of the int16 cell mode.
+
+Run on the TPU once the backend is reachable:
+
+    timeout 3600 python scripts/probe_int16.py
+
+Keeps new Mosaic compiles to a minimum (each costs 3-6 min via the
+remote AOT helper):
+  1. headline shape (8192 DNA pairs, 512x512, SW): int16 @ tile 8192 —
+     scores compared against the already-cached int32 @ tile 4096, then
+     GCUPS measured for both (bench/timing.py in-jit protocol);
+  2. protein (k=23) packed-plane parity at one small shape vs the XLA
+     engine (no Mosaic compile for the reference side).
+
+If this prints INT16_OK and a speedup > 1, flip config.int16_cells()
+default to "auto" and add the int16 candidate to bench.py.
+"""
+
+import sys
+
+import numpy as np
+
+from seqalign_tpu import config as sa_config
+
+sa_config.enable_compile_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from seqalign_tpu.bench.timing import device_seconds_per_call  # noqa: E402
+from seqalign_tpu.ops.pallas_fill import (  # noqa: E402
+    batch_score_pallas,
+    int16_cells_ok,
+)
+
+
+def main() -> int:
+    rng = np.random.default_rng(42)
+    print(f"[int16] backend: {jax.devices()}", file=sys.stderr)
+
+    # --- 1. headline shape: parity + perf ---------------------------------
+    b, n, m = 8192, 512, 512
+    sm = jnp.asarray(np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32))
+    texts = jnp.asarray(rng.integers(0, 4, (b, n)), jnp.int32)
+    patterns = jnp.asarray(rng.integers(0, 4, (b, m)), jnp.int32)
+    ns = jnp.full((b,), n, jnp.int32)
+    ms = jnp.full((b,), m, jnp.int32)
+    assert int16_cells_ok(n, m, np.asarray(sm), 4, 5)
+
+    ref = np.asarray(jax.device_get(batch_score_pallas(
+        texts, patterns, ns, ms, sm, 5, k_alpha=4, local=True,
+        tile_pairs=4096,
+    )))
+    got = np.asarray(jax.device_get(batch_score_pallas(
+        texts, patterns, ns, ms, sm, 5, k_alpha=4, local=True,
+        tile_pairs=8192, cell16=True,
+    )))
+    if not (ref == got).all():
+        bad = int((ref != got).sum())
+        print(f"INT16_PARITY_FAIL headline: {bad}/{b} pairs differ")
+        return 1
+    print("[int16] headline parity ok", file=sys.stderr)
+
+    def call32(perturb):
+        return batch_score_pallas(
+            texts, patterns, ns, ms, sm, 5 + perturb, k_alpha=4,
+            local=True, tile_pairs=4096,
+        )
+
+    def call16(perturb):
+        return batch_score_pallas(
+            texts, patterns, ns, ms, sm, 5 + perturb, k_alpha=4,
+            local=True, tile_pairs=8192, cell16=True,
+        )
+
+    cells = b * n * m
+    t32 = device_seconds_per_call(call32, reps=16, timings=5)
+    t16 = device_seconds_per_call(call16, reps=16, timings=5)
+    g32 = cells / t32 / 1e9
+    g16 = cells / t16 / 1e9
+    print(
+        f"[int16] headline: int32 {g32:.1f} GCUPS, int16 {g16:.1f} GCUPS, "
+        f"speedup {g16 / g32:.2f}x",
+        file=sys.stderr,
+    )
+
+    # --- 2. protein packed-plane parity (vs XLA engine) --------------------
+    from seqalign_tpu.ops.batch import batch_score
+
+    k = 23
+    smp = rng.integers(-8, 12, (k, k)).astype(np.int32)
+    smp = jnp.asarray(((smp + smp.T) // 2).astype(np.int32))
+    bp, np_, mp_ = 1024, 128, 128
+    tp = jnp.asarray(rng.integers(0, k, (bp, np_)), jnp.int32)
+    pp = jnp.asarray(rng.integers(0, k, (bp, mp_)), jnp.int32)
+    nsp = jnp.asarray(rng.integers(1, np_ + 1, bp), jnp.int32)
+    msp = jnp.asarray(rng.integers(1, mp_ + 1, bp), jnp.int32)
+    want = np.asarray(jax.device_get(batch_score(
+        tp, pp, nsp, msp, smp, 10, local=True)))
+    gotp = np.asarray(jax.device_get(batch_score_pallas(
+        tp, pp, nsp, msp, smp, 10, k_alpha=k, local=True,
+        tile_pairs=1024, cell16=True,
+    )))
+    if not (want == gotp).all():
+        bad = int((want != gotp).sum())
+        print(f"INT16_PARITY_FAIL protein: {bad}/{bp} pairs differ")
+        return 1
+    print("[int16] protein parity ok", file=sys.stderr)
+
+    print(
+        f"INT16_OK int32={g32:.1f} int16={g16:.1f} "
+        f"speedup={g16 / g32:.2f}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,4 +51,12 @@ say "batch-e2e 8192 rc=$?"
 timeout 1800 python -m seqalign_tpu.bench.suite batch-e2e --dna --size 512 --pairs 1024 4096 >> "$LOG" 2>&1
 say "batch-e2e 512 rc=$?"
 
+say "=== 5. int16 cell mode: real-chip parity + perf ==="
+timeout 3600 python scripts/probe_int16.py >> "$LOG" 2>&1
+say "int16 probe rc=$?"
+
+say "=== 6. cold headline bench (cache-hit check) ==="
+timeout 1500 python bench.py >> "$LOG" 2>&1
+say "bench rc=$?"
+
 say "chain complete"
