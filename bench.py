@@ -52,6 +52,16 @@ CANDIDATES = (
     ("xla", 360),
 )
 
+# The int16 cell-mode candidate (2 DP cells per VPU lane, 8192-pair
+# tiles) joins the chain FIRST, but only after scripts/probe_int16.py
+# has validated parity + speedup on the real chip and warmed its
+# executable into the shared cache (it writes this marker).
+_INT16_MARKER = "bench/results/INT16_VALIDATED"
+if os.path.exists(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), _INT16_MARKER)
+):
+    CANDIDATES = (("int16", 600),) + CANDIDATES
+
 
 def _measure(name: str) -> None:
     """Child process: measure one candidate, print the JSON line."""
@@ -92,12 +102,15 @@ def _measure(name: str) -> None:
     else:
         from seqalign_tpu.ops.pallas_fill import batch_score_pallas
 
-        tile_pairs = {"tile4096": 4096, "tile1024": 1024}[name]
+        tile_pairs = {"int16": 8192, "tile4096": 4096,
+                      "tile1024": 1024}[name]
+        cell16 = name == "int16"
 
         def call(perturb):
             return batch_score_pallas(
                 texts, patterns, ns, ms, sm, 5 + perturb,
                 k_alpha=4, local=True, tile_pairs=tile_pairs,
+                cell16=cell16,
             )
 
         reps = 16
