@@ -108,6 +108,34 @@ def main() -> int:
         return 1
     print("[int16] protein parity ok", file=sys.stderr)
 
+    # --- 3. dirs kernel: Mosaic-compiled int16 vs exact interpret ----------
+    # One extra Mosaic compile at a small shape validates the int16
+    # lowering of the dirs-emitting body (words/best cells stay int32);
+    # the interpret side is bit-exact kernel semantics, no compile.
+    from seqalign_tpu.ops.pallas_fill import batch_fill_dirs_pallas
+
+    bd, nd, md = 256, 64, 64
+    td = jnp.asarray(rng.integers(0, 4, (bd, nd)), jnp.int32)
+    pd = jnp.asarray(rng.integers(0, 4, (bd, md)), jnp.int32)
+    nsd = jnp.asarray(rng.integers(1, nd + 1, bd), jnp.int32)
+    msd = jnp.asarray(rng.integers(1, md + 1, bd), jnp.int32)
+    kwd = dict(k_alpha=4, local=True, gap_extend=2, tile_pairs=bd,
+               cell16=True)
+    want_d = batch_fill_dirs_pallas(td, pd, nsd, msd, sm, 5,
+                                    interpret=True, **kwd)
+    got_d = batch_fill_dirs_pallas(td, pd, nsd, msd, sm, 5, **kwd)
+    for name, w, g in zip(("scores", "best_is", "best_js", "dirs", "dirs2"),
+                          want_d, got_d):
+        if w is None:
+            continue
+        w = np.asarray(jax.device_get(w))
+        g = np.asarray(jax.device_get(g))
+        if not (w == g).all():
+            print(f"INT16_PARITY_FAIL dirs/{name}: {int((w != g).sum())}")
+            return 1
+    print("[int16] dirs kernel parity ok (compiled vs interpret)",
+          file=sys.stderr)
+
     print(
         f"INT16_OK int32={g32:.1f} int16={g16:.1f} "
         f"speedup={g16 / g32:.2f}"
@@ -122,7 +150,7 @@ def main() -> int:
         with open("bench/results/INT16_VALIDATED", "w") as f:
             f.write(
                 f"int32={g32:.1f} int16={g16:.1f} "
-                f"speedup={g16 / g32:.2f}\n"
+                f"speedup={g16 / g32:.2f} dirs=ok\n"
             )
         print("[int16] wrote bench/results/INT16_VALIDATED", file=sys.stderr)
     return 0

@@ -11,7 +11,8 @@ LOG=${SEQALIGN_CHAIN_LOG:-/tmp/r3_chain.log}
 say() { echo "[$(date +%H:%M:%S)] $*" >> "$LOG"; }
 
 say "waiting for TPU backend..."
-for i in $(seq 1 120); do
+# Outages can last many hours (co-tenancy); wait up to ~10h.
+for i in $(seq 1 600); do
   if timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
     say "backend up after probe $i"
     break

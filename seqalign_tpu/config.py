@@ -123,17 +123,23 @@ def enable_compile_cache() -> None:
 
 
 def int16_cells() -> str:
-    """int16 cell mode of the batched score fill (ops/pallas_fill.py,
-    two DP cells per 32-bit VPU lane): "auto" routes eligible buckets
+    """int16 cell mode of the batched fills (ops/pallas_fill.py, two DP
+    cells per 32-bit VPU lane): "auto" routes eligible buckets
     (int16_cells_ok over the padded shapes) to the int16 kernel, "0"
     never, "1" asserts eligibility.  Default off until the mode is
     validated on the real chip (the Mosaic backend has rejected other
-    legal kernel variants; see BENCH_NOTES on rps=32).
-    SEQALIGN_INT16_CELLS overrides."""
+    legal kernel variants; see BENCH_NOTES on rps=32):
+    scripts/probe_int16.py writes bench/results/INT16_VALIDATED after
+    real-chip parity (score + dirs kernels) and a measured speedup,
+    which flips the default to "auto".  SEQALIGN_INT16_CELLS overrides."""
     forced = os.environ.get("SEQALIGN_INT16_CELLS", "").lower()
     if forced in ("0", "1", "auto"):
         return forced
-    return "0"
+    marker = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench", "results", "INT16_VALIDATED",
+    )
+    return "auto" if os.path.exists(marker) else "0"
 
 
 def batch_walker_max_pairs() -> int:

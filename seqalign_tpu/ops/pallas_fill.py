@@ -203,13 +203,14 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     kernel's format), plus per-pair best-cell tracking (row-major first
     occurrence, strict improvement — alignSequenceCPU.cpp:191-192).
 
-    cell16 (score-only): DP values, letters and substitution planes live
-    in int16 vectors (2 lanes per 32-bit VPU lane, ~2x the elementwise
-    issue rate).  Length masks stay int32; per-row scalar work stays
-    int32 and is narrowed to int16 vectors once per row.  Callers must
-    gate on :func:`int16_cells_ok`.
+    cell16: DP values, letters and substitution planes live in int16
+    vectors (2 lanes per 32-bit VPU lane, ~2x the elementwise issue
+    rate).  Length masks, direction words, best-cell indices and the
+    carried best score in state_scr stay int32 (words need 32 bits;
+    NEG_16 round-trips the state casts exactly).  Per-row scalar work
+    stays int32 and is narrowed to int16 vectors once per row.  Callers
+    must gate on :func:`int16_cells_ok`.
     """
-    assert not (cell16 and with_dirs), "int16 mode is score-only"
     cdt = jnp.int16 if cell16 else _INT
     neg_cell = NEG_16 if cell16 else NEG_INF
     g = gap_ref[0, 0]   # gap penalty (affine: gap-open)
@@ -263,9 +264,9 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     def _init():
         jax.lax.fori_loop(0, n_cols, init_col, 0)
         if with_dirs:
-            state_scr[0] = jnp.full((sub_rows, 128), NEG_INF, _INT)
-            state_scr[1] = zero  # best_i
-            state_scr[2] = zero  # best_j
+            state_scr[0] = jnp.full((sub_rows, 128), neg_cell, _INT)
+            state_scr[1] = zero32  # best_i
+            state_scr[2] = zero32  # best_j
 
     if with_dirs:
         pl.when(first)(_init)
@@ -404,14 +405,15 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         return acc, bi, bj
 
     if with_dirs:
-        acc0, bi0, bj0 = state_scr[0], state_scr[1], state_scr[2]
+        acc0 = state_scr[0].astype(cdt) if cell16 else state_scr[0]
+        bi0, bj0 = state_scr[1], state_scr[2]
     else:
         acc0, bi0, bj0 = jnp.full((sub_rows, 128), neg_cell, cdt), zero, zero
     acc, bi, bj = jax.lax.fori_loop(
         1, rows_here + 1, row_step, (acc0, bi0, bj0)
     )
     if with_dirs:
-        state_scr[0] = acc
+        state_scr[0] = acc.astype(_INT) if cell16 else acc
         state_scr[1] = bi
         state_scr[2] = bj
 
@@ -560,13 +562,16 @@ DIRS_TILE_PAIRS = 2048  # pairs/grid-step of the dirs-emitting batch kernel
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_alpha", "local", "semi", "tile_pairs", "interpret"),
+    static_argnames=(
+        "k_alpha", "local", "semi", "tile_pairs", "cell16", "interpret"
+    ),
 )
 def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
                            k_alpha: int, local: bool = False,
                            semi: bool = False,
                            tile_pairs: int = DIRS_TILE_PAIRS,
                            gap_extend=None,
+                           cell16: bool = False,
                            interpret: bool = False):
     """Batched fill emitting packed direction words (inter-pair kernel).
 
@@ -579,7 +584,10 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     Args: as batch_score_pallas; patterns' padded width must be a
     multiple of 16 (DIR_ROWS_PER_WORD).  gap_extend switches to affine
     (Gotoh) costs and additionally emits the E/F run-continuation
-    bitplane (same encoding as the wavefront affine kernel).
+    bitplane (same encoding as the wavefront affine kernel).  cell16
+    narrows the DP state to int16 (direction words, best cells and
+    scores stay int32 — identical output layout); callers must gate on
+    :func:`int16_cells_ok` over the padded widths.
 
     Returns (scores, best_is, best_js, dirs, dirs2):
       scores: (B,) int32 (local scores floored at 0 like the reference);
@@ -598,10 +606,11 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     num_tiles = b // tile_pairs
     sub_rows = tile_pairs // 128
     num_w = m // DIR_ROWS_PER_WORD
+    cdt = jnp.int16 if cell16 else _INT
 
     def to_slots(x, width):
         return (
-            x.astype(_INT)
+            x.astype(cdt)
             .reshape(num_tiles, tile_pairs, width)
             .transpose(0, 2, 1)
             .reshape(num_tiles * width, sub_rows, 128)
@@ -615,14 +624,17 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
          jnp.asarray(gap_extend if affine else gap, _INT)]
     ).reshape(1, 2)
     if _use_packed_subs(k_alpha):
-        sm = pack_score_matrix_traced(score_matrix, k_alpha)
+        if cell16:
+            sm = pack_score_matrix_traced_16(score_matrix, k_alpha)
+        else:
+            sm = pack_score_matrix_traced(score_matrix, k_alpha)
     else:
         sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
 
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        True, False,
+        True, cell16,
     )
     dirs_spec = pl.BlockSpec(
         (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)
@@ -667,8 +679,8 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
             dirs2_shape,
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, sub_rows, 128), _INT),
-            pltpu.VMEM((n if affine else 1, sub_rows, 128), _INT),
+            pltpu.VMEM((n, sub_rows, 128), cdt),
+            pltpu.VMEM((n if affine else 1, sub_rows, 128), cdt),
             pltpu.VMEM((3, sub_rows, 128), _INT),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -382,6 +382,16 @@ class BatchAligner:
         d_count = mesh.size
         spec = P(mesh_lib.DATA_AXIS)
         rep = P()
+        mode16 = config.int16_cells()
+        cell16 = mode16 != "0" and pallas_fill.int16_cells_ok(
+            n_pad, m_pad, np.asarray(self.score_matrix),
+            k_alpha, self.gap_penalty, self.gap_extend,
+        )
+        if mode16 == "1" and not cell16:
+            raise ValueError(
+                "SEQALIGN_INT16_CELLS=1 but the padded shapes/scores "
+                "exceed the int16 value cap (int16_cells_ok is False)"
+            )
         b = len(idx)
         b_pad = max(quantum, -(-b // quantum) * quantum)
         t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
@@ -402,7 +412,7 @@ class BatchAligner:
                     t_s, p_s, ns_s, ms_s, sm, self.gap_penalty,
                     k_alpha=k_alpha, local=self.local,
                     semi=self.semi, tile_pairs=tile_pairs,
-                    gap_extend=self.gap_extend,
+                    gap_extend=self.gap_extend, cell16=cell16,
                     interpret=interpret,
                 )
             )

@@ -121,6 +121,61 @@ def test_int16_near_cap_exact():
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("local,semi,gap_extend", MODES)
+def test_int16_dirs_kernel_matches_int32(local, semi, gap_extend):
+    # The dirs-emitting kernel: direction words, dirs2 bitplane, best
+    # cells and scores must all be bit-identical to the int32 kernel.
+    rng = np.random.default_rng(13)
+    sm = _dna_sm()
+    b, n, m = 128, 48, 32
+    texts = rng.integers(0, 4, (b, n)).astype(np.int32)
+    pats = rng.integers(0, 4, (b, m)).astype(np.int32)
+    ns = rng.integers(1, n + 1, b).astype(np.int32)
+    ms = rng.integers(1, m + 1, b).astype(np.int32)
+    kw = dict(
+        k_alpha=4, local=local, semi=semi, gap_extend=gap_extend,
+        tile_pairs=128, interpret=True,
+    )
+    want = pallas_fill.batch_fill_dirs_pallas(
+        texts, pats, ns, ms, sm, 5, **kw)
+    got = pallas_fill.batch_fill_dirs_pallas(
+        texts, pats, ns, ms, sm, 5, cell16=True, **kw)
+    names = ("scores", "best_is", "best_js", "dirs", "dirs2")
+    for name, w, g in zip(names, want, got):
+        if w is None:
+            assert g is None
+            continue
+        w, g = np.asarray(w), np.asarray(g)
+        assert (w == g).all(), (name, int((w != g).sum()))
+
+
+def test_int16_align_via_batch_aligner(monkeypatch):
+    # Full end-to-end alignments through the int16 dirs kernel must be
+    # byte-identical to the int32 route.
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    from seqalign_tpu.parallel.batch import BatchAligner
+
+    rng = np.random.default_rng(17)
+    sm = _dna_sm()
+    texts = [rng.integers(0, 4, rng.integers(20, 90)).astype(np.int32)
+             for _ in range(12)]
+    pats = [rng.integers(0, 4, rng.integers(10, 60)).astype(np.int32)
+            for _ in range(12)]
+    aligner = BatchAligner(sm, 4, 4, local=True, gap_extend=2)
+    monkeypatch.setenv("SEQALIGN_INT16_CELLS", "0")
+    want = aligner.align(texts, pats)
+    monkeypatch.setenv("SEQALIGN_INT16_CELLS", "auto")
+    got = aligner.align(texts, pats)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (np.asarray(g.aligned_text) == np.asarray(w.aligned_text)).all()
+        assert (np.asarray(g.aligned_pattern)
+                == np.asarray(w.aligned_pattern)).all()
+        assert g.start_in_aligned_text == w.start_in_aligned_text
+        assert g.start_in_aligned_pattern == w.start_in_aligned_pattern
+        assert g.score == w.score
+
+
 def test_int16_routing_via_batch_aligner(monkeypatch):
     # SEQALIGN_INT16_CELLS=auto routes eligible buckets through the
     # int16 kernel inside the sharded scorer; scores must not change.
