@@ -177,10 +177,38 @@ def _run_candidate(name: str, deadline: float) -> str | None:
     return None
 
 
+def _backend_reachable(deadline: float = 180.0) -> bool:
+    """Probe the accelerator backend in a subprocess (init HANGS when
+    the tunnel is down, so the probe needs its own deadline)."""
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=deadline,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        ).returncode
+        return rc == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     if "--measure" in sys.argv:
         _measure(sys.argv[sys.argv.index("--measure") + 1])
         return
+
+    # Fail fast (with one retry — transient blips happen) when the
+    # backend is unreachable: every candidate needs the chip, and
+    # letting them all hang to their deadlines would eat ~30 min of
+    # the caller's window for a run that cannot succeed.
+    if not os.environ.get("SEQALIGN_BENCH_SKIP_PROBE"):
+        if not _backend_reachable() and not _backend_reachable():
+            print(
+                "[bench] accelerator backend unreachable (2 probes); "
+                "no candidate can run",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
     if "--warm" in sys.argv:
         # Populate the persistent compile cache for every candidate so a

@@ -16,7 +16,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture()
-def bench_mod():
+def bench_mod(monkeypatch):
+    # Skip the real backend-reachability probe (it spawns a jax
+    # subprocess and would hang on the down tunnel in CI).
+    monkeypatch.setenv("SEQALIGN_BENCH_SKIP_PROBE", "1")
     spec = importlib.util.spec_from_file_location(
         "bench_headline", os.path.join(REPO, "bench.py")
     )
@@ -70,6 +73,21 @@ def test_watchdog_candidate_filter(bench_mod, monkeypatch, capsys):
     bench_mod.main()
     assert calls == ["xla"]
     assert capsys.readouterr().out.strip() == line
+
+
+def test_watchdog_fails_fast_when_backend_down(bench_mod, monkeypatch):
+    monkeypatch.delenv("SEQALIGN_BENCH_SKIP_PROBE", raising=False)
+    monkeypatch.setattr(bench_mod, "_backend_reachable", lambda *a: False)
+    ran = []
+    monkeypatch.setattr(
+        bench_mod, "_run_candidate",
+        lambda n, d: ran.append(n),
+    )
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    with pytest.raises(SystemExit) as e:
+        bench_mod.main()
+    assert e.value.code == 1
+    assert ran == []  # no candidate burned its deadline
 
 
 def test_int16_marker_flips_config_default(monkeypatch):
