@@ -81,27 +81,84 @@ def main() -> int:
     import jax.numpy as jnp
 
     t0 = time.time()
-    scores = sharded_batch_score(
-        mesh, make_global(texts), make_global(patterns),
-        make_global(ns), make_global(ms),
-        jnp.asarray(sm), 5, local=True,
-    )
-    # Each process checks its own addressable shards against the oracle.
+    # Mode matrix: every scoring mode the engines claim on a mesh —
+    # linear x {global, local, semi} and affine x {global, semi}.
+    modes = [
+        dict(local=True),
+        dict(),
+        dict(semi=True),
+        dict(gap_extend=2),
+        dict(semi=True, gap_extend=2),
+    ]
     checked = 0
-    for shard in scores.addressable_shards:
-        got = np.asarray(shard.data).reshape(-1)
-        start = shard.index[0].start or 0
-        for row, s in enumerate(got):
-            gi = start + row
-            _, sc, _ = bindings.oracle_fill(
-                1, texts[gi].astype(np.int8), patterns[gi].astype(np.int8),
-                sm, 4, 5,
-            )
-            assert int(s) == sc, (gi, int(s), sc)
-            checked += 1
+    for kw in modes:
+        scores = sharded_batch_score(
+            mesh, make_global(texts), make_global(patterns),
+            make_global(ns), make_global(ms),
+            jnp.asarray(sm), 5, **kw,
+        )
+        algo = 2 if kw.get("semi") else (1 if kw.get("local") else 0)
+        ext = kw.get("gap_extend")
+        # Each process checks its own addressable shards vs the oracle.
+        mode_checked = 0
+        for shard in scores.addressable_shards:
+            got = np.asarray(shard.data).reshape(-1)
+            start = shard.index[0].start or 0
+            for row, s in enumerate(got):
+                gi = start + row
+                if ext is not None:
+                    sc, _ = bindings.oracle_fill_affine(
+                        algo, texts[gi].astype(np.int8),
+                        patterns[gi].astype(np.int8), sm, 4, 5, ext,
+                    )
+                else:
+                    _, sc, _ = bindings.oracle_fill(
+                        algo, texts[gi].astype(np.int8),
+                        patterns[gi].astype(np.int8), sm, 4, 5,
+                    )
+                assert int(s) == sc, (kw, gi, int(s), sc)
+                mode_checked += 1
+        assert mode_checked == pairs_per_proc, (kw, mode_checked)
+        checked = mode_checked
+
+    # Batched end-to-end ALIGNMENT (fill + lockstep traceback) across
+    # the multi-process mesh: each process emits and byte-checks the
+    # pairs its shard covers (BatchAligner's multi-process contract).
+    from seqalign_tpu.parallel.batch import BatchAligner
+
+    align_b = min(b, 8 * num_procs * dev_per_proc)
+    a_texts = [texts[i] for i in range(align_b)]
+    a_pats = [patterns[i][: 32 + (i % 17)] for i in range(align_b)]
+    aligned_total = 0
+    for kw in (dict(local=True), dict(semi=True, gap_extend=2)):
+        ba = BatchAligner(sm, 4, 5, mesh=mesh, **kw)
+        results = ba.align(a_texts, a_pats)
+        algo = 2 if kw.get("semi") else 1
+        ext = kw.get("gap_extend")
+        for i, r in enumerate(results):
+            if r is None:
+                continue  # another process's shard
+            if ext is not None:
+                oat, oap, ost, osp, osc = bindings.oracle_align_affine(
+                    algo, a_texts[i].astype(np.int8),
+                    a_pats[i].astype(np.int8), sm, 4, 5, ext,
+                )
+            else:
+                oat, oap, ost, osp, osc = bindings.oracle_align(
+                    algo, a_texts[i].astype(np.int8),
+                    a_pats[i].astype(np.int8), sm, 4, 5,
+                )
+            assert r.score == osc, (kw, i, r.score, osc)
+            assert np.array_equal(r.aligned_text, oat), (kw, i)
+            assert np.array_equal(r.aligned_pattern, oap), (kw, i)
+            assert (r.start_in_aligned_text,
+                    r.start_in_aligned_pattern) == (ost, osp), (kw, i)
+            aligned_total += 1
+    assert aligned_total > 0, "no pairs owned by this process"
+
     dt = time.time() - t0
-    assert checked == pairs_per_proc, checked
-    print(f"OK {proc_id} {checked} {dt:.2f}", flush=True)
+    print(f"OK {proc_id} {checked} {dt:.2f} aligned={aligned_total}",
+          flush=True)
     return 0
 
 

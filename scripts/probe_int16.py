@@ -17,9 +17,12 @@ If this prints INT16_OK and a speedup > 1, flip config.int16_cells()
 default to "auto" and add the int16 candidate to bench.py.
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from seqalign_tpu import config as sa_config
 

@@ -228,6 +228,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         v = scalar + zero32
         return v.astype(cdt) if cell16 else v
 
+
     if cell16:
         # Gap penalties as int16 vectors so the per-cell subtractions
         # stay at the packed issue rate (int32 scalars would promote).
@@ -291,10 +292,24 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         # scores sm[pat, c].
         planes = []
         for q in range(n_coef):
-            cc = zero32
-            for a in range(k_alpha):
-                cc = jnp.where(pat == a, sm_ref[a, q], cc)
-            planes.append(cc.astype(cdt) if cell16 else cc)
+            if cell16:
+                # Mosaic (v5e) rejects selects whose operands are BOTH
+                # replicated-layout constants ("Invalid relayout: ...
+                # replicated in destination but not in source" — the
+                # select's result layout goes replicated and the mask
+                # can't follow), which is exactly select(pat==a, scalar,
+                # zeros).  Masked sum avoids selects entirely; exactly
+                # one letter matches, unmatched (pad) rows get 0 like
+                # the select chain did.  Per-row cost, int16 issue rate.
+                cc = zero
+                for a in range(k_alpha):
+                    cc = cc + (pat == a).astype(cdt) * sm_ref[a, q].astype(cdt)
+                planes.append(cc)
+            else:
+                cc = zero32
+                for a in range(k_alpha):
+                    cc = jnp.where(pat == a, sm_ref[a, q], cc)
+                planes.append(cc)
 
         row_live = i <= mvec
         if local:
@@ -343,11 +358,28 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 is_left = jnp.logical_and(
                     jnp.logical_not(is_diag), gl >= gt
                 )
-                d = jnp.where(
-                    is_diag, 1, jnp.where(is_left, 0, 2)
-                ).astype(_INT)
-                if local:
-                    d = jnp.where(jnp.maximum(diag, gap_best) > 0, d, 3)
+                if cell16:
+                    # Select chains over small constants have
+                    # replicated-layout operands, which Mosaic's select
+                    # rejects (see plane selection above); is_diag and
+                    # is_left are mutually exclusive, so the 2-bit code
+                    # is plain arithmetic: DIAG->1, LEFT->0, TOP->2.
+                    id16 = is_diag.astype(cdt)
+                    il16 = is_left.astype(cdt)
+                    d16 = 2 - id16 - (il16 << 1)
+                    if local:
+                        d16 = jnp.where(
+                            jnp.maximum(diag, gap_best) > 0, d16, 3
+                        )
+                    d = d16.astype(_INT)
+                else:
+                    d = jnp.where(
+                        is_diag, 1, jnp.where(is_left, 0, 2)
+                    ).astype(_INT)
+                    if local:
+                        d = jnp.where(
+                            jnp.maximum(diag, gap_best) > 0, d, 3
+                        )
                 word = d << (2 * ((i - 1) % DIR_ROWS_PER_WORD))
                 first_of_word = (i - 1) % DIR_ROWS_PER_WORD == 0
                 dirs_ref[j] = jnp.where(
@@ -356,31 +388,45 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                 if affine:
                     # Run-continuation bits: stay in a gap run iff
                     # extending strictly beats reopening from H.
-                    d2 = (e_ext > e_open).astype(_INT) | (
-                        (f_ext > f_open).astype(_INT) << 1
-                    )
+                    if cell16:
+                        d2 = (
+                            (e_ext > e_open).astype(cdt)
+                            | ((f_ext > f_open).astype(cdt) << 1)
+                        ).astype(_INT)
+                    else:
+                        d2 = (e_ext > e_open).astype(_INT) | (
+                            (f_ext > f_open).astype(_INT) << 1
+                        )
                     word2 = d2 << (2 * ((i - 1) % DIR_ROWS_PER_WORD))
                     dirs2_ref[j] = jnp.where(
                         first_of_word, word2, dirs2_ref[j] | word2
                     )
+            # cell16: scalar select operands are Mosaic-hostile on the
+            # int16 layouts (see plane selection) — stage them through
+            # hoisted vectors (`neg` IS full(neg_cell) in cell16).
+            neg_cell_v = neg if cell16 else neg_cell
             if local:
                 ok = jnp.logical_and(j < nvec, row_live)
-                cand = jnp.where(ok, cur, neg_cell)
+                cand = jnp.where(ok, cur, neg_cell_v)
                 if with_dirs:
                     improved = cand > acc
-                    bi = jnp.where(improved, i, bi)
-                    bj = jnp.where(improved, j + 1, bj)
+                    iv = zero32 + i if cell16 else i
+                    jv = zero32 + (j + 1) if cell16 else j + 1
+                    bi = jnp.where(improved, iv, bi)
+                    bj = jnp.where(improved, jv, bj)
                 acc = jnp.maximum(acc, cand)
             elif semi:
                 # Max over the last pattern row (fit alignment).
                 ok = jnp.logical_and(
                     jnp.logical_and(row_live, i == mvec), j < nvec
                 )
-                cand = jnp.where(ok, cur, neg_cell)
+                cand = jnp.where(ok, cur, neg_cell_v)
                 if with_dirs:
                     improved = cand > acc
-                    bi = jnp.where(improved, i, bi)
-                    bj = jnp.where(improved, j + 1, bj)
+                    iv = zero32 + i if cell16 else i
+                    jv = zero32 + (j + 1) if cell16 else j + 1
+                    bi = jnp.where(improved, iv, bi)
+                    bj = jnp.where(improved, jv, bj)
                 acc = jnp.maximum(acc, cand)
             else:
                 hit = jnp.logical_and(row_live, jnp.logical_and(i == mvec, j == nvec - 1))

@@ -98,6 +98,30 @@ class _Bucket:
     m_pad: int
 
 
+def _host_shards(arr, axis: int, size: int):
+    """Assemble this process's addressable shards of a global array into
+    a host array of full extent ``size`` along ``axis``, plus a boolean
+    owned-mask over that axis (rows other processes hold stay zero)."""
+    out = None
+    owned = np.zeros(size, dtype=bool)
+    for sh in arr.addressable_shards:
+        data = np.asarray(sh.data)
+        sl = sh.index[axis]
+        start = sl.start or 0
+        stop = start + data.shape[axis]
+        if out is None:
+            shape = list(data.shape)
+            shape[axis] = size
+            out = np.zeros(shape, data.dtype)
+        sel = [slice(None)] * data.ndim
+        sel[axis] = slice(start, stop)
+        out[tuple(sel)] = data
+        owned[start:stop] = True
+    if out is None:  # no addressable shards (shouldn't happen)
+        out = np.zeros([size], arr.dtype)
+    return out, owned
+
+
 class BatchAligner:
     """Length-bucketed many-pair scorer.
 
@@ -246,7 +270,17 @@ class BatchAligner:
                 semi=self.semi,
                 gap_extend=self.gap_extend,
             )
-            scores = np.asarray(jax.device_get(scores))
+            if jax.process_count() > 1:
+                # Multi-process mesh: this process can only device_get
+                # its own shards; all-gather the (4-byte/pair) scores so
+                # every process returns the full result array.
+                from jax.experimental import multihost_utils
+
+                scores = np.asarray(
+                    multihost_utils.process_allgather(scores, tiled=True)
+                )
+            else:
+                scores = np.asarray(jax.device_get(scores))
             for row, i in enumerate(bucket.indices):
                 out[i] = scores[row]
         return out
@@ -295,6 +329,10 @@ class BatchAligner:
         orientation).  Returns a list of AlignmentResult (alphabet
         indices, gap == alphabet size), byte-identical to the CPU
         oracle.
+
+        On a multi-process mesh each process returns results only for
+        the pairs its own shard covers (others stay None) — move lists
+        are too large to all-gather; score() by contrast all-gathers.
         """
         from ..models.base import AlignmentResult
         from ..native import bindings
@@ -501,15 +539,32 @@ class BatchAligner:
             jnp.asarray(t_arr), jnp.asarray(p_arr),
             jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
         )
-        (scores, packed, lens, j_fin, i_fin, bis_np,
-         bjs_np) = jax.device_get(
-            (scores, packed, lens, j_fin, i_fin, bis, bjs)
-        )
+        if jax.process_count() > 1:
+            # Multi-process mesh: only this process's pair shards are
+            # addressable (the move lists are too big to all-gather);
+            # emit results for owned rows, leave the rest None — the
+            # standard SPMD contract, each process handles its shard.
+            b_pad = len(ns)
+            scores, owned = _host_shards(scores, 0, b_pad)
+            packed, _ = _host_shards(packed, 1, b_pad)
+            lens, _ = _host_shards(lens, 0, b_pad)
+            j_fin, _ = _host_shards(j_fin, 0, b_pad)
+            i_fin, _ = _host_shards(i_fin, 0, b_pad)
+            bis_np, _ = _host_shards(bis, 0, b_pad)
+            bjs_np, _ = _host_shards(bjs, 0, b_pad)
+        else:
+            owned = None
+            (scores, packed, lens, j_fin, i_fin, bis_np,
+             bjs_np) = jax.device_get(
+                (scores, packed, lens, j_fin, i_fin, bis, bjs)
+            )
         packed = np.asarray(packed)
         # Replay each pair's move list through the same emitters the
         # checkpointed engine uses (native for linear, the
         # quirk-free numpy replay for affine).
         for row, i in enumerate(idx):
+            if owned is not None and not owned[row]:
+                continue
             ln = int(lens[row])
             mv = unpack_batch_moves(packed, ln, row)
             if self.local or self.semi:

@@ -29,16 +29,15 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_batch_score():
+def _run_workers(num: int, dev_per_proc: int, pairs: int):
     port = _free_port()
-    num = int(os.environ.get("SEQALIGN_DIST_PROCS", "2"))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers pick their own device counts
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(num), str(port),
-             "2", "64"],
+             str(dev_per_proc), str(pairs)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=REPO, env=env,
         )
@@ -46,8 +45,22 @@ def test_two_process_sharded_batch_score():
     ]
     outs = []
     for pid, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
     for pid, out in enumerate(outs):
-        assert f"OK {pid} 64" in out, out
+        assert f"OK {pid} {pairs}" in out, out
+        assert "aligned=" in out, out
+
+
+def test_two_process_sharded_batch_score():
+    # Full mode matrix (linear/affine x global/local/semi) + batched
+    # end-to-end alignment, each process byte-checking its own shard.
+    _run_workers(int(os.environ.get("SEQALIGN_DIST_PROCS", "2")), 2, 64)
+
+
+def test_four_process_sharded_batch_score():
+    # The pod scripts' code path must be process-count-general: 4
+    # processes x 2 virtual devices, same matrix, smaller batch (this
+    # CI host has one core, so processes time-slice).
+    _run_workers(4, 2, 16)
