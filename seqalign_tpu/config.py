@@ -142,6 +142,16 @@ def int16_cells() -> str:
     return "auto" if os.path.exists(marker) else "0"
 
 
+def dna_colprof() -> bool:
+    """Small-alphabet (k <= 4) batch kernels read packed per-position
+    substitution columns (ops/pallas_fill.pack_text_colprof) instead of
+    letters: the per-cell lookup drops from a (k-1)-deep select chain to
+    shift+mask+debias, ~3 fewer ALU ops on the VPU-issue-bound fill.
+    SEQALIGN_DNA_COLPROF=0 restores the select-chain kernels (the value
+    is read at trace time, so set it before the first batch call)."""
+    return os.environ.get("SEQALIGN_DNA_COLPROF", "1") != "0"
+
+
 def batch_walker_max_pairs() -> int:
     """Per-device pair-count ceiling for routing a batch traceback slice
     to the per-pair in-kernel Pallas walker (ops/batch_traceback.py)

@@ -34,6 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
+
 _INT = jnp.int32
 NEG_INF = -(1 << 30)
 PAD_SCORE = -(1 << 24)
@@ -124,6 +126,43 @@ def int16_cells_ok(n_pad: int, m_pad: int, score_matrix, k_alpha: int,
     return bound <= INT16_VALUE_CAP
 
 
+def pack_text_colprof(letters, score_matrix, k_alpha: int) -> jax.Array:
+    """Per-position packed substitution COLUMNS for small alphabets.
+
+    Entry j holds the biased bytes ``sm[a, letters[j]] + SUB_BIAS`` for
+    a = 0..3 (slots a >= k_alpha hold SUB_BIAS), so a kernel reads the
+    substitution score of a DP row with pattern letter ``p`` as
+    ``((colprof >> (p << 3)) & 0xFF) - SUB_BIAS`` — one shift whose
+    amount is fixed per ROW, vs the (k-1)-deep per-CELL select chain.
+    The text side of the classic query-profile trick, restated for
+    inter-pair SIMD (each lane is a different pair, so a per-letter
+    profile array can't be selected per cell; a per-position packed
+    column can).  |scores| <= 127 is the engine-wide contract
+    (pack_score_matrix).  Runs as plain fused XLA outside the kernel —
+    one elementwise pass over the padded texts.
+    """
+    assert k_alpha <= 4, "colprof packing only fits 4 byte slots"
+    sm = jnp.asarray(score_matrix, _INT)[:k_alpha, :k_alpha]
+    lets = jnp.asarray(letters, _INT)
+    packed = []
+    for c in range(k_alpha):
+        v = jnp.asarray(0, _INT)
+        for a in range(4):
+            byte = (
+                (sm[a, c] + SUB_BIAS) & 0xFF
+                if a < k_alpha
+                else jnp.asarray(SUB_BIAS, _INT)
+            )
+            v = v | (byte << (8 * a))
+        packed.append(v)
+    # Same default rule as the kernels' select chains: letters >= k-1
+    # (including zero-pad when k_alpha == 1) map to the last column.
+    out = packed[k_alpha - 1] + jnp.zeros_like(lets)
+    for c in range(k_alpha - 1):
+        out = jnp.where(lets == c, packed[c], out)
+    return out
+
+
 def _use_packed_subs(k_alpha: int) -> bool:
     """Packed lookup wins for big alphabets (protein: 2.6x on the batch
     kernel); for k <= 4 the plain (k-1)-deep select chain is faster than
@@ -182,7 +221,7 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                       sub_rows: int, affine: bool, semi: bool,
-                      with_dirs: bool, cell16: bool,
+                      with_dirs: bool, cell16: bool, colprof: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
                       out_ref, dirs_ref, dirs2_ref, row_ref, f_ref,
                       state_scr):
@@ -202,6 +241,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     16w+1..16w+16 at column j+1, the pair-batched analog of the strip
     kernel's format), plus per-pair best-cell tracking (row-major first
     occurrence, strict improvement — alignSequenceCPU.cpp:191-192).
+
+    colprof: texts_ref holds packed substitution COLUMNS instead of
+    letters (pack_text_colprof): per row the shift amount is the
+    pattern letter, per cell the lookup is shift+mask+debias (3 ops)
+    instead of the (k-1)-deep select chain (6 ops at k=4) — ~20% fewer
+    ALU ops/cell on the VPU-issue-bound DNA fill.  k_alpha <= 4 only.
 
     cell16: DP values, letters and substitution planes live in int16
     vectors (2 lanes per 32-bit VPU lane, ~2x the elementwise issue
@@ -288,10 +333,13 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         # rows (with_dirs 2D grid) — index is block-local either way.
         pat = pats_ref[i - 1 - row_off]  # pattern letter of row i per pair
         # Per-row substitution coefficients, selected by pattern letter:
-        # packed planes (see pack_score_matrix) or raw per-text-letter
-        # scores sm[pat, c].
+        # colprof shift amount (texts_ref holds packed columns), packed
+        # planes (see pack_score_matrix) or raw per-text-letter scores
+        # sm[pat, c].
         planes = []
-        for q in range(n_coef):
+        if colprof:
+            row_lsh = pat << 3  # per-row byte-slot shift, 0 extra/cell
+        for q in range(n_coef if not colprof else 0):
             if cell16:
                 # Mosaic (v5e) rejects selects whose operands are BOTH
                 # replicated-layout constants ("Invalid relayout: ...
@@ -325,7 +373,11 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         def cell_step(j, carry):
             left, diag_carry, e, acc, bi, bj = carry
             text_j = texts_ref[j]
-            if _use_packed_subs(k_alpha):
+            if colprof:
+                # texts_ref[j] is a packed substitution column; the
+                # shift amount is fixed per row (pattern letter).
+                sub = ((text_j >> row_lsh) & 0xFF) - SUB_BIAS
+            elif _use_packed_subs(k_alpha):
                 lookup = _packed_lookup16 if cell16 else _packed_lookup
                 sub = lookup(planes, text_j)
             else:
@@ -479,7 +531,8 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_alpha", "local", "semi", "tile_pairs", "cell16", "interpret"
+        "k_alpha", "local", "semi", "tile_pairs", "cell16", "colprof",
+        "interpret"
     ),
 )
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
@@ -488,6 +541,7 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        tile_pairs: int | None = None,
                        gap_extend=None,
                        cell16: bool = False,
+                       colprof: bool | None = None,
                        interpret: bool = False):
     """Optimal scores for a padded batch (inter-pair Pallas kernel).
 
@@ -508,9 +562,19 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         tile doubles to 8192 pairs at the same register footprint).
         Caller must gate on :func:`int16_cells_ok` over the PADDED
         widths or scores silently wrap.
+      colprof: pass packed per-position substitution columns instead of
+        letters (pack_text_colprof) — shift+mask lookup, ~3 fewer ALU
+        ops/cell at k <= 4.  None = auto (on for k <= 4 int32 cells,
+        SEQALIGN_DNA_COLPROF=0 disables).
 
     Returns (B,) int32 scores.
     """
+    if colprof is None:
+        colprof = (
+            k_alpha <= 4 and not cell16 and config.dna_colprof()
+        )
+    assert not (colprof and cell16)
+    assert not (colprof and k_alpha > 4)
     b, n = texts.shape
     m = patterns.shape[1]
     if tile_pairs is None:
@@ -539,7 +603,12 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
             .reshape(num_tiles * width, sub_rows, 128)
         )
 
-    texts_s = to_slots(texts, n)
+    texts_in = (
+        pack_text_colprof(texts, score_matrix, k_alpha)
+        if colprof
+        else texts
+    )
+    texts_s = to_slots(texts_in, n)
     pats_s = to_slots(patterns, m)
     ns_s = jnp.asarray(ns, _INT).reshape(num_tiles, 1, sub_rows, 128)
     ms_s = jnp.asarray(ms, _INT).reshape(num_tiles, 1, sub_rows, 128)
@@ -559,7 +628,7 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        False, cell16,
+        False, cell16, colprof,
     )
     out, _, _ = pl.pallas_call(
         kernel,
@@ -609,7 +678,8 @@ DIRS_TILE_PAIRS = 2048  # pairs/grid-step of the dirs-emitting batch kernel
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_alpha", "local", "semi", "tile_pairs", "cell16", "interpret"
+        "k_alpha", "local", "semi", "tile_pairs", "cell16", "colprof",
+        "interpret"
     ),
 )
 def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
@@ -618,6 +688,7 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
                            tile_pairs: int = DIRS_TILE_PAIRS,
                            gap_extend=None,
                            cell16: bool = False,
+                           colprof: bool | None = None,
                            interpret: bool = False):
     """Batched fill emitting packed direction words (inter-pair kernel).
 
@@ -645,6 +716,12 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
       dirs2: same layout for the affine continuation bits (bit 0 E-run,
         bit 1 F-run), or None for linear gaps.
     """
+    if colprof is None:
+        colprof = (
+            k_alpha <= 4 and not cell16 and config.dna_colprof()
+        )
+    assert not (colprof and cell16)
+    assert not (colprof and k_alpha > 4)
     b, n = texts.shape
     m = patterns.shape[1]
     assert m % DIR_ROWS_PER_WORD == 0, "pad patterns to a multiple of 16"
@@ -662,7 +739,12 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
             .reshape(num_tiles * width, sub_rows, 128)
         )
 
-    texts_s = to_slots(texts, n)
+    texts_in = (
+        pack_text_colprof(texts, score_matrix, k_alpha)
+        if colprof
+        else texts
+    )
+    texts_s = to_slots(texts_in, n)
     pats_s = to_slots(patterns, m)
     affine = gap_extend is not None
     gap_arr = jnp.stack(
@@ -680,7 +762,7 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        True, cell16,
+        True, cell16, colprof,
     )
     dirs_spec = pl.BlockSpec(
         (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)

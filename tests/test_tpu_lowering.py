@@ -40,26 +40,34 @@ def _dna_batch(b=128, n=64, m=64):
     return t, p, ns, ms, sm
 
 
-@pytest.mark.parametrize("cell16", [False, True])
+@pytest.mark.parametrize("cell16,colprof", [
+    (False, True),   # default DNA path: packed substitution columns
+    (False, False),  # select-chain fallback (SEQALIGN_DNA_COLPROF=0)
+    (True, False),
+])
 @pytest.mark.parametrize("local,semi,affine", [
     (True, False, False), (False, False, True), (False, True, True),
 ])
-def test_batch_score_lowers_for_tpu(cell16, local, semi, affine):
+def test_batch_score_lowers_for_tpu(cell16, colprof, local, semi, affine):
     t, p, ns, ms, sm = _dna_batch()
     fn = functools.partial(
         batch_score_pallas, k_alpha=4, local=local, semi=semi,
         gap_extend=2 if affine else None, tile_pairs=128, cell16=cell16,
+        colprof=colprof,
     )
     _export_ok(fn, t, p, ns, ms, sm, 5)
 
 
-@pytest.mark.parametrize("cell16", [False, True])
+@pytest.mark.parametrize("cell16,colprof", [
+    (False, True), (False, False), (True, False),
+])
 @pytest.mark.parametrize("affine", [False, True])
-def test_batch_dirs_lowers_for_tpu(cell16, affine):
+def test_batch_dirs_lowers_for_tpu(cell16, colprof, affine):
     t, p, ns, ms, sm = _dna_batch()
     fn = functools.partial(
         batch_fill_dirs_pallas, k_alpha=4, local=True,
         gap_extend=2 if affine else None, tile_pairs=128, cell16=cell16,
+        colprof=colprof,
     )
     _export_ok(fn, t, p, ns, ms, sm, 5)
 
