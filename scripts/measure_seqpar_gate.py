@@ -70,17 +70,19 @@ def main() -> int:
     # Warm + time the single-chip checkpoint fill (one wavefront pass).
     def single():
         ck = checkpoint.checkpointed_fill(
-            text, pattern, sm, 4, gap, ckpt_cols=2048,
+            text, pattern, sm, 4, gap, ckpt_cols=8192,
         )
         np.asarray(ck.boundaries)  # host sync
 
     single()  # compile
     t_single = _time(single)
-    t_step = t_single / (n + slots)
+    t_step = t_single / (n + slots)  # single pass: ckpt_cols=8192 fill
     print(f"single-chip fill: {t_single*1e3:.1f} ms "
           f"({t_step*1e9:.1f} ns/step at {n + slots} steps)")
 
-    for ckpt_cols in (2048, 4096, 8192):
+    # ckpt_cols must be a power of two >= slots+16 (4096-slot
+    # geometry => >= 8192; wavefront_strip asserts it).
+    for ckpt_cols in (8192, 16384, 32768):
         num_chunks = -(-n // ckpt_cols)
 
         def pipe():

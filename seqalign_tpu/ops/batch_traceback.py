@@ -212,9 +212,9 @@ def _batch_walker_kernel(groups: int, w_rows: int,
     sem2 = refs.pop(0) if affine else None
 
     pair = pl.program_id(0)
-    i0 = scal_ref[0, 0]
-    j0 = scal_ref[0, 1]
-    alive0 = scal_ref[0, 2] != 0
+    i0 = scal_ref[0, 0, 0]
+    j0 = scal_ref[0, 0, 1]
+    alive0 = scal_ref[0, 0, 2] != 0
     lane = jax.lax.broadcasted_iota(_INT, (1, 1, 128), 2)
 
     def read(w, grow, su, la):
@@ -284,7 +284,7 @@ def _batch_walker_kernel(groups: int, w_rows: int,
 
             @pl.when(jnp.logical_and(emit, k % 16 == 15))
             def _flush():
-                mv_ref[0, k // 16] = mvw
+                mv_ref[0, 0, k // 16] = mvw
 
             take_t = jnp.logical_and(
                 emit, jnp.logical_or(d == _DIAG, d == _LEFT)
@@ -329,11 +329,11 @@ def _batch_walker_kernel(groups: int, w_rows: int,
 
     @pl.when(k % 16 != 0)
     def _tail():
-        mv_ref[0, k // 16] = mvw
+        mv_ref[0, 0, k // 16] = mvw
 
-    res_ref[0, 0] = k
-    res_ref[0, 1] = i
-    res_ref[0, 2] = j
+    res_ref[0, 0, 0] = k
+    res_ref[0, 0, 1] = i
+    res_ref[0, 0, 2] = j
 
 
 def fits_batch_walker(n_cols: int, w_rows: int, max_len: int,
@@ -395,14 +395,21 @@ def batch_pallas_traceback(dirs, ns, ms, bis, bjs,
         alive0 = i0 > 0
     else:
         alive0 = jnp.logical_or(i0 > 0, j0 > 0)
-    scal = jnp.stack([i0, j0, alive0.astype(_INT)], axis=1)
+    # Singleton middle axis: Mosaic requires the last two block dims to
+    # be (8, 128)-divisible or equal to the array dims — a (1, 3) block
+    # of a (B, 3) array violates the sublane rule, a (1, 1, 3) block of
+    # (B, 1, 3) doesn't (caught on the real backend; interpret mode
+    # doesn't enforce it).
+    scal = jnp.stack([i0, j0, alive0.astype(_INT)], axis=1)[:, None, :]
 
     mv_words = max_len // 16
     kernel = functools.partial(
         _batch_walker_kernel, groups, w_rows, local, semi, affine
     )
     in_specs = [
-        pl.BlockSpec((1, 3), lambda p: (p, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (1, 1, 3), lambda p: (p, 0, 0), memory_space=pltpu.SMEM
+        ),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [scal, dirs_pm]
@@ -421,15 +428,16 @@ def batch_pallas_traceback(dirs, ns, ms, bis, bjs,
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
-                (1, mv_words), lambda p: (p, 0), memory_space=pltpu.SMEM
+                (1, 1, mv_words), lambda p: (p, 0, 0),
+                memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, 4), lambda p: (p, 0), memory_space=pltpu.SMEM
+                (1, 1, 4), lambda p: (p, 0, 0), memory_space=pltpu.SMEM
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, mv_words), _INT),
-            jax.ShapeDtypeStruct((b, 4), _INT),
+            jax.ShapeDtypeStruct((b, 1, mv_words), _INT),
+            jax.ShapeDtypeStruct((b, 1, 4), _INT),
         ),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -437,6 +445,8 @@ def batch_pallas_traceback(dirs, ns, ms, bis, bjs,
         ),
         interpret=interpret,
     )(*inputs)
+    mv = mv.reshape(b, mv_words)
+    res = res.reshape(b, 4)
     return mv.T, res[:, 0], res[:, 1], res[:, 2]
 
 

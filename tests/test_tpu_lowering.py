@@ -89,6 +89,45 @@ def test_batch_score_protein_packed_lowers_for_tpu():
         _export_ok(fn, t, p, ns, ms, smp, 10)
 
 
+@pytest.mark.parametrize("affine", [False, True])
+@pytest.mark.parametrize("local,semi", [
+    (True, False), (False, False), (False, True),
+])
+def test_batch_pallas_walker_lowers_for_tpu(affine, local, semi):
+    # The per-pair walker's SMEM block shapes hit Mosaic's sublane
+    # divisibility rule on the real backend while interpret mode
+    # sailed through (round-4 batch-e2e crash) — keep it lowering.
+    from seqalign_tpu.ops.batch_traceback import batch_pallas_traceback
+
+    rng = np.random.default_rng(9)
+    b, w_rows, n_cols = 128, 4, 64
+    dirs = jnp.asarray(
+        rng.integers(np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+                     (1, w_rows, n_cols, 1, 128)),
+        jnp.int32,
+    )
+    dirs2 = (
+        jnp.asarray(
+            rng.integers(0, 4, (1, w_rows, n_cols, 1, 128)), jnp.int32
+        )
+        if affine
+        else None
+    )
+    ns = jnp.full((b,), n_cols, jnp.int32)
+    ms = jnp.full((b,), w_rows * 16, jnp.int32)
+    bis = jnp.full((b,), 3, jnp.int32)
+    bjs = jnp.full((b,), 5, jnp.int32)
+
+    def call(dirs, ns, ms, bis, bjs, *rest):
+        return batch_pallas_traceback(
+            dirs, ns, ms, bis, bjs, local=local, semi=semi,
+            max_len=128, dirs2=rest[0] if rest else None,
+        )
+
+    args = (dirs, ns, ms, bis, bjs) + ((dirs2,) if affine else ())
+    _export_ok(call, *args)
+
+
 @pytest.mark.parametrize("rps,slots", [
     (8, 128),          # default-family geometry
     (32, 128),         # split-body path (SPLIT_BODY_RPS) — the round-2
