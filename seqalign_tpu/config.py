@@ -117,6 +117,15 @@ def enable_compile_cache() -> None:
     import jax
 
     try:
+        if jax.default_backend() == "cpu":
+            # The cache exists to skip the remote Mosaic AOT compile;
+            # XLA:CPU compiles are local and fast, and CPU executables
+            # are AOT-serialized against the compiling host's exact CPU
+            # features — loading (or even writing) entries produced on
+            # a different host generation can SIGILL/segfault (seen:
+            # pytest crash in compilation_cache.put_executable_and_time
+            # after api.align enabled the cache under the CPU pin).
+            return
         jax.config.update("jax_compilation_cache_dir", path)
     except Exception:  # cache is an optimization, never a failure
         pass
