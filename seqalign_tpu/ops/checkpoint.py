@@ -56,7 +56,9 @@ DEFAULT_CKPT_COLS = 32768  # column-checkpoint spacing (= re-fill tile width)
 # pattern length.  Deeper strips amortize the sequential per-step row
 # chain over more rows: with-dirs GCUPS measured 75.4 (rps=4, 16384-row
 # strips) vs 134.7 (rps=16, 65536-row strips) on protein 32768-wide
-# sweeps (scripts/sweep_wavefront_geometry.py; rps=32 fails to compile).
+# sweeps (scripts/sweep_wavefront_geometry.py).  rps=32 compiles since
+# the round-4 split body but gains only ~4.5% at slots=2048 and loses
+# at slots=4096 (bench/results/r4_geometry_sweep.out) — not default.
 # Short patterns stay at rps=4 so strip padding doesn't eat the gain.
 DEFAULT_CKPT_RPS = 4
 DEFAULT_CKPT_SLOTS = 4096
