@@ -23,6 +23,13 @@ from ..ops.batch import batch_score
 from . import mesh as mesh_lib
 
 
+# Jitted shard_map callables, keyed by mesh + trace-affecting config.
+# Without these caches every call rebuilt its shard_map closure and
+# re-traced/re-fetched the executable (a fixed multi-second cost per
+# call through the remote compile helper; see r4_seqpar_gate.out).
+_SCORE_FNS: dict = {}
+
+
 def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
                         gap, local: bool = False, semi: bool = False,
                         gap_extend=None):
@@ -72,13 +79,22 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
 
     # check_vma=False: the scan carry inits are device-invariant while the
     # scanned inputs vary over 'data'; the values are correct either way.
-    fn = jax.shard_map(
-        local_shard,
-        mesh=mesh,
-        in_specs=(spec, spec, spec, spec, rep),
-        out_specs=spec,
-        check_vma=False,
+    key = (
+        tuple(int(d.id) for d in mesh.devices.flat), use_pallas, cell16,
+        local, semi, int(gap),
+        int(gap_extend) if gap_extend is not None else None,
+        config.pallas_interpret(),
     )
+    fn = _SCORE_FNS.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            local_shard,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, rep),
+            out_specs=spec,
+            check_vma=False,
+        ))
+        _SCORE_FNS[key] = fn
     return fn(texts, patterns, ns, ms, score_matrix)
 
 
@@ -159,6 +175,7 @@ class BatchAligner:
         self.local = local
         self.semi = semi
         self.mesh = mesh if mesh is not None else mesh_lib.make_data_mesh()
+        self._fill_walk_fns: dict = {}
 
     def _buckets(self, texts: Sequence[np.ndarray],
                  patterns: Sequence[np.ndarray]) -> list[_Bucket]:
@@ -527,14 +544,23 @@ class BatchAligner:
                 jnp.concatenate(parts[3]),
             )
 
-        fill_walk = jax.shard_map(
-            shard,
-            mesh=mesh,
-            in_specs=(spec, spec, spec, spec, rep),
-            out_specs=(spec, spec, spec, P(None, mesh_lib.DATA_AXIS),
-                       spec, spec, spec),
-            check_vma=False,
+        # Cache the jitted pipeline per trace-affecting config (the
+        # instance pins mesh/mode/gaps; jit handles shape retraces).
+        fw_key = (
+            n_pad, m_pad, tile_pairs, cell16, k_alpha, max_len,
+            interpret, config.batch_walker_max_pairs(), WALK_INDEX_CAP,
         )
+        fill_walk = self._fill_walk_fns.get(fw_key)
+        if fill_walk is None:
+            fill_walk = jax.jit(jax.shard_map(
+                shard,
+                mesh=mesh,
+                in_specs=(spec, spec, spec, spec, rep),
+                out_specs=(spec, spec, spec, P(None, mesh_lib.DATA_AXIS),
+                           spec, spec, spec),
+                check_vma=False,
+            ))
+            self._fill_walk_fns[fw_key] = fill_walk
         scores, bis, bjs, packed, lens, j_fin, i_fin = fill_walk(
             jnp.asarray(t_arr), jnp.asarray(p_arr),
             jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,

@@ -49,6 +49,11 @@ from . import mesh as mesh_lib
 
 _INT = jnp.int32
 
+# Jitted shard_map pipelines, keyed by (mesh devices + static config).
+# Grows like any jit cache; entries are small (compiled executables are
+# owned by the runtime).
+_PIPE_FNS: dict = {}
+
 
 def estimated_speedup(n: int, m: int, d_count: int,
                       ckpt_cols: int = DEFAULT_CKPT_COLS) -> float:
@@ -132,14 +137,12 @@ def sequence_parallel_checkpointed_fill(
     perm = [(i, i + 1) for i in range(d_count - 1)]
     neg_half = wavefront.NEG_HALF
 
-    def worker(pat_d):
+    def worker(pat_d, text_all, sm_dev):
         pat_d = pat_d[0]
         d = jax.lax.axis_index(axis)
         i0 = d * rows
-        text_all = jnp.asarray(text_pad)
         rvec = jnp.arange(rows + 1, dtype=_INT)
         tvec = jnp.arange(tile_steps, dtype=_INT)
-        sm_dev = jnp.asarray(sm)
 
         # Arithmetic left boundary lc[ri] = S[i0 + ri, 0] for chunk 0.
         if local:
@@ -323,13 +326,26 @@ def sequence_parallel_checkpointed_fill(
         )
 
     spec = P(axis)
-    fn = jax.shard_map(
-        worker, mesh=mesh, in_specs=(spec,),
-        out_specs=(spec, spec, spec, P(), P(), P(), P()),
-        check_vma=False,
+    # One jitted executable per static pipeline config, cached across
+    # calls (and across different texts/matrices of the same shape —
+    # they are ARGUMENTS, not trace constants).  Without this, every
+    # call rebuilt the shard_map closure and paid a full retrace +
+    # executable fetch (~21 s/call through the remote compile helper,
+    # measured in bench/results/r4_seqpar_gate.out pre-fix).
+    key = (
+        tuple(int(dev.id) for dev in mesh.devices.flat), n, m, k_alpha,
+        gap, ext, local, semi, affine, ckpt_cols, rps, slots, interpret,
     )
+    fn = _PIPE_FNS.get(key)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            worker, mesh=mesh, in_specs=(spec, P(), P()),
+            out_specs=(spec, spec, spec, P(), P(), P(), P()),
+            check_vma=False,
+        ))
+        _PIPE_FNS[key] = fn
     accs, ajs_d, snaps, bounds_d, fbounds_d, colvals_d, colvalse_d = fn(
-        jnp.asarray(pats)
+        jnp.asarray(pats), jnp.asarray(text_pad), jnp.asarray(sm)
     )
 
     # Phase 2 (path-tile traceback) runs single-chip: land each strip's
