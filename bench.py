@@ -47,7 +47,12 @@ BASELINE_GCUPS = 14.354
 # pathological compile can't eat the driver's whole window; the XLA
 # fallback compiles locally in under a minute.
 CANDIDATES = (
-    ("tile4096", 780),
+    # tile8192 needs the colprof lookup (default on): the packed-column
+    # substitution frees the select-chain plane registers, which is what
+    # made 8192 pairs/grid-step profitable (372 vs 322 GCUPS at 4096;
+    # without colprof 8192 regressed to ~300 — r4_colprof_tiles.out).
+    ("tile8192", 780),
+    ("tile4096", 720),
     ("tile1024", 600),
     ("xla", 360),
 )
@@ -106,7 +111,7 @@ def _measure(name: str) -> None:
     else:
         from seqalign_tpu.ops.pallas_fill import batch_score_pallas
 
-        tile_pairs = {"int16": 8192, "tile4096": 4096,
+        tile_pairs = {"int16": 8192, "tile8192": 8192, "tile4096": 4096,
                       "tile1024": 1024}[name]
         cell16 = name == "int16"
 
