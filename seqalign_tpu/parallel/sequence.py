@@ -55,6 +55,19 @@ _INT = jnp.int32
 _PIPE_FNS: dict = {}
 
 
+# Measured per-chunk fixed overhead of the REAL pipeline vs this
+# model, in wavefront steps (scripts/measure_seqpar_gate.py on the v5e,
+# bench/results/r4_seqpar_gate.out): -3659 / -1735 / -6437 steps/chunk
+# at ckpt_cols = 8k/16k/32k — i.e. the (ckpt_cols + slots) term OVER-
+# estimates the measured chunk cost; the skew-ramp re-pay is mostly
+# hidden.  Clamped to 0 (not the measured negative values) so the gate
+# keeps margin for the un-modeled multi-device ppermute cost (a
+# ckpt_cols-word int32 halo over ICI, micro-seconds vs ms-scale
+# chunks).  Net: the model is a measured upper bound on pipeline cost,
+# so the >=1.2 routing threshold errs toward the single chip.
+PIPE_CHUNK_OVERHEAD_STEPS = 0
+
+
 def estimated_speedup(n: int, m: int, d_count: int,
                       ckpt_cols: int = DEFAULT_CKPT_COLS) -> float:
     """Critical-path model of the pipelined chunked fill vs the
@@ -63,7 +76,10 @@ def estimated_speedup(n: int, m: int, d_count: int,
     the whole text; the pipeline's critical path is
     (num_chunks + num_strips - 1) chunk fills of (ckpt_cols + slots)
     steps, each chunk re-paying the skew ramp.  Returns 0 when the
-    pattern needs more strips than devices (not supported)."""
+    pattern needs more strips than devices (not supported).
+
+    Calibrated on hardware round 4: the per-chunk term is a measured
+    upper bound (see PIPE_CHUNK_OVERHEAD_STEPS above)."""
     rps, slots = _pick_geometry(m, None, None)
     rows = rps * slots
     num_strips = max(1, -(-m // rows))
@@ -71,7 +87,9 @@ def estimated_speedup(n: int, m: int, d_count: int,
         return 0.0
     num_chunks = max(1, -(-n // ckpt_cols))
     single = num_strips * (n + slots)
-    par = (num_chunks + num_strips - 1) * (ckpt_cols + slots)
+    par = (num_chunks + num_strips - 1) * (
+        ckpt_cols + slots + PIPE_CHUNK_OVERHEAD_STEPS
+    )
     return single / par
 
 
