@@ -47,6 +47,11 @@ BASELINE_GCUPS = 14.354
 # pathological compile can't eat the driver's whole window; the XLA
 # fallback compiles locally in under a minute.
 CANDIDATES = (
+    # tile8192u: the headline workload is uniform-length (every pair
+    # exactly 512x512), so the per-cell validity masking is dead weight;
+    # uniform=True drops ~3 of ~15 VPU ops/cell (kernel contract in
+    # ops/pallas_fill.py, parity pinned by tests/test_uniform_fastpath).
+    ("tile8192u", 780),
     # tile8192 needs the colprof lookup (default on): the packed-column
     # substitution frees the select-chain plane registers, which is what
     # made 8192 pairs/grid-step profitable (372 vs 322 GCUPS at 4096;
@@ -111,15 +116,16 @@ def _measure(name: str) -> None:
     else:
         from seqalign_tpu.ops.pallas_fill import batch_score_pallas
 
-        tile_pairs = {"int16": 8192, "tile8192": 8192, "tile4096": 4096,
-                      "tile1024": 1024}[name]
+        tile_pairs = {"int16": 8192, "tile8192u": 8192, "tile8192": 8192,
+                      "tile4096": 4096, "tile1024": 1024}[name]
         cell16 = name == "int16"
+        uniform = name == "tile8192u"
 
         def call(perturb):
             return batch_score_pallas(
                 texts, patterns, ns, ms, sm, 5 + perturb,
                 k_alpha=4, local=True, tile_pairs=tile_pairs,
-                cell16=cell16,
+                cell16=cell16, uniform=uniform,
             )
 
         reps = 16

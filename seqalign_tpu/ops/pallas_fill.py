@@ -222,6 +222,7 @@ def _shift_right_lanes(x: jax.Array, lane: jax.Array, fill) -> jax.Array:
 def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                       sub_rows: int, affine: bool, semi: bool,
                       with_dirs: bool, cell16: bool, colprof: bool,
+                      uniform: bool,
                       gap_ref, sm_ref, texts_ref, pats_ref, ns_ref, ms_ref,
                       out_ref, dirs_ref, dirs2_ref, row_ref, f_ref,
                       state_scr):
@@ -255,6 +256,15 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     NEG_16 round-trips the state casts exactly).  Per-row scalar work
     stays int32 and is narrowed to int16 vectors once per row.  Callers
     must gate on :func:`int16_cells_ok`.
+
+    uniform: the caller guarantees every REAL pair's lengths equal the
+    padded (n_cols, m_rows) exactly (padding PAIRS with ns=0 are still
+    allowed — their outputs are garbage and must be discarded, same as
+    the non-uniform contract).  The per-cell validity masking then
+    vanishes: local tracks acc = max(acc, cur) bare (1 slot instead of
+    4), and global/semi skip in-loop tracking entirely — the score is
+    read off the final DP row after the loop.  On the issue-bound
+    score kernel that is ~20% fewer slots/cell.
     """
     cdt = jnp.int16 if cell16 else _INT
     neg_cell = NEG_16 if cell16 else NEG_INF
@@ -359,7 +369,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                     cc = jnp.where(pat == a, sm_ref[a, q], cc)
                 planes.append(cc)
 
-        row_live = i <= mvec
+        row_live = None if uniform else (i <= mvec)
         if local:
             s_i0 = s_im1_0 = zero
         elif affine:
@@ -458,8 +468,12 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
             # hoisted vectors (`neg` IS full(neg_cell) in cell16).
             neg_cell_v = neg if cell16 else neg_cell
             if local:
-                ok = jnp.logical_and(j < nvec, row_live)
-                cand = jnp.where(ok, cur, neg_cell_v)
+                if uniform:
+                    # Every cell of a real pair is valid: track bare.
+                    cand = cur
+                else:
+                    ok = jnp.logical_and(j < nvec, row_live)
+                    cand = jnp.where(ok, cur, neg_cell_v)
                 if with_dirs:
                     improved = cand > acc
                     iv = zero32 + i if cell16 else i
@@ -467,7 +481,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                     bi = jnp.where(improved, iv, bi)
                     bj = jnp.where(improved, jv, bj)
                 acc = jnp.maximum(acc, cand)
-            elif semi:
+            elif semi and not uniform:
                 # Max over the last pattern row (fit alignment).
                 ok = jnp.logical_and(
                     jnp.logical_and(row_live, i == mvec), j < nvec
@@ -480,9 +494,11 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
                     bi = jnp.where(improved, iv, bi)
                     bj = jnp.where(improved, jv, bj)
                 acc = jnp.maximum(acc, cand)
-            else:
+            elif not uniform:
                 hit = jnp.logical_and(row_live, jnp.logical_and(i == mvec, j == nvec - 1))
                 acc = jnp.where(hit, cur, acc)
+            # uniform global/semi: no in-loop tracking at all — the
+            # score is read off the final DP row in _finish.
             return cur, prev_j, e, acc, bi, bj
 
         # Mosaic fori supports only unroll=1/full; unroll manually to
@@ -516,6 +532,34 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
         state_scr[2] = bj
 
     def _finish():
+        if uniform and not local:
+            # Nothing was tracked in-loop; after the last row,
+            # row_ref[j] = H[m_rows, j+1].  Global score is the corner
+            # cell; semi scans the final row (max + first occurrence,
+            # same policy as the in-loop tracker restricted to i = m).
+            # O(n_cols) vector ops — noise next to the O(n*m) fill.
+            if semi:
+                def scan_j(j, carry):
+                    a, bjv = carry
+                    cand = row_ref[j]
+                    if with_dirs:
+                        jv = zero32 + (j + 1) if cell16 else j + 1
+                        bjv = jnp.where(cand > a, jv, bjv)
+                    a = jnp.maximum(a, cand)
+                    return a, bjv
+                seed = jnp.full((sub_rows, 128), neg_cell, cdt)
+                a, bjv = jax.lax.fori_loop(
+                    0, n_cols, scan_j, (seed, zero32)
+                )
+                out_ref[0] = a.astype(_INT) if cell16 else a
+            else:
+                final = row_ref[n_cols - 1]
+                out_ref[0] = final.astype(_INT) if cell16 else final
+                bjv = zero32 + n_cols
+            if with_dirs:
+                out_ref[1] = zero32 + m_rows  # best_i = m (real pairs)
+                out_ref[2] = bjv  # garbage for global, like bi/bj were
+            return
         final = jnp.maximum(acc, 0) if local else acc
         out_ref[0] = final.astype(_INT) if cell16 else final
         if with_dirs:
@@ -532,7 +576,7 @@ def _interpair_kernel(k_alpha: int, local: bool, n_cols: int, m_rows: int,
     jax.jit,
     static_argnames=(
         "k_alpha", "local", "semi", "tile_pairs", "cell16", "colprof",
-        "interpret"
+        "uniform", "interpret"
     ),
 )
 def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
@@ -542,6 +586,7 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
                        gap_extend=None,
                        cell16: bool = False,
                        colprof: bool | None = None,
+                       uniform: bool = False,
                        interpret: bool = False):
     """Optimal scores for a padded batch (inter-pair Pallas kernel).
 
@@ -566,6 +611,12 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
         letters (pack_text_colprof) — shift+mask lookup, ~3 fewer ALU
         ops/cell at k <= 4.  None = auto (on for k <= 4 int32 cells,
         SEQALIGN_DNA_COLPROF=0 disables).
+      uniform: caller guarantees every REAL pair has ns == N and
+        ms == M exactly (zero-length padding pairs still allowed, their
+        scores are garbage).  Drops the per-cell validity masking —
+        ~3 fewer ops/cell on the issue-bound fill.  WRONG RESULTS if
+        the guarantee is violated; callers compute it from host-side
+        lengths (see BatchAligner.score / bench.py).
 
     Returns (B,) int32 scores.
     """
@@ -628,7 +679,7 @@ def batch_score_pallas(texts, patterns, ns, ms, score_matrix, gap,
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        False, cell16, colprof,
+        False, cell16, colprof, uniform,
     )
     out, _, _ = pl.pallas_call(
         kernel,
@@ -679,7 +730,7 @@ DIRS_TILE_PAIRS = 2048  # pairs/grid-step of the dirs-emitting batch kernel
     jax.jit,
     static_argnames=(
         "k_alpha", "local", "semi", "tile_pairs", "cell16", "colprof",
-        "interpret"
+        "uniform", "interpret"
     ),
 )
 def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
@@ -689,6 +740,7 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
                            gap_extend=None,
                            cell16: bool = False,
                            colprof: bool | None = None,
+                           uniform: bool = False,
                            interpret: bool = False):
     """Batched fill emitting packed direction words (inter-pair kernel).
 
@@ -704,7 +756,9 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     bitplane (same encoding as the wavefront affine kernel).  cell16
     narrows the DP state to int16 (direction words, best cells and
     scores stay int32 — identical output layout); callers must gate on
-    :func:`int16_cells_ok` over the padded widths.
+    :func:`int16_cells_ok` over the padded widths.  uniform: as
+    batch_score_pallas (all real pairs exactly (N, M)) — best_is/best_js
+    keep identical semantics (global stays garbage-by-contract).
 
     Returns (scores, best_is, best_js, dirs, dirs2):
       scores: (B,) int32 (local scores floored at 0 like the reference);
@@ -762,7 +816,7 @@ def batch_fill_dirs_pallas(texts, patterns, ns, ms, score_matrix, gap,
     assert not (semi and local)
     kernel = functools.partial(
         _interpair_kernel, k_alpha, local, n, m, sub_rows, affine, semi,
-        True, cell16, colprof,
+        True, cell16, colprof, uniform,
     )
     dirs_spec = pl.BlockSpec(
         (n, sub_rows, 128), lambda t, w: (t * num_w + w, 0, 0)

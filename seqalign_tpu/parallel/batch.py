@@ -32,11 +32,13 @@ _SCORE_FNS: dict = {}
 
 def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
                         gap, local: bool = False, semi: bool = False,
-                        gap_extend=None):
+                        gap_extend=None, uniform: bool = False):
     """Scores for a batch sharded along the mesh ``data`` axis.
 
     The batch dimension must be divisible by the mesh size (use
-    :func:`pad_batch` first).
+    :func:`pad_batch` first).  uniform: every real pair's lengths equal
+    the padded shapes exactly (callers must check against HOST lengths
+    — see batch_score_pallas); drops the kernel's per-cell masking.
     """
     spec = P(mesh_lib.DATA_AXIS)
     rep = P()
@@ -69,7 +71,7 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
             return pallas_fill.batch_score_pallas(
                 t, p, n, m, sm, gap,
                 k_alpha=sm.shape[0], local=local, semi=semi,
-                gap_extend=gap_extend, cell16=cell16,
+                gap_extend=gap_extend, cell16=cell16, uniform=uniform,
                 interpret=config.pallas_interpret(),
             )
         return batch_score(
@@ -83,7 +85,7 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
         tuple(int(d.id) for d in mesh.devices.flat), use_pallas, cell16,
         local, semi, int(gap),
         int(gap_extend) if gap_extend is not None else None,
-        config.pallas_interpret(),
+        uniform, config.pallas_interpret(),
     )
     fn = _SCORE_FNS.get(key)
     if fn is None:
@@ -275,6 +277,13 @@ class BatchAligner:
                 t_arr[row, : t.shape[0]] = t
                 p_arr[row, : p.shape[0]] = p
                 ns[row], ms[row] = t.shape[0], p.shape[0]
+            # Uniform bucket (every real pair exactly the padded shape,
+            # e.g. fixed-length read batches): the kernel drops its
+            # per-cell validity masking.  Checked on HOST lengths.
+            uniform = bool(
+                (ns[:b] == bucket.n_pad).all()
+                and (ms[:b] == bucket.m_pad).all()
+            )
             scores = sharded_batch_score(
                 self.mesh,
                 jnp.asarray(t_arr),
@@ -286,6 +295,7 @@ class BatchAligner:
                 local=self.local,
                 semi=self.semi,
                 gap_extend=self.gap_extend,
+                uniform=uniform,
             )
             if jax.process_count() > 1:
                 # Multi-process mesh: this process can only device_get
@@ -382,12 +392,21 @@ class BatchAligner:
 
         results: list = [None] * len(texts)
         self._oracle_degenerate(None, results, texts, patterns)
+        # Bucket shapes quantize to multiples of 128 (score()'s
+        # convention, scan_engine.padded_rows).  The kernels only need
+        # 16-row granularity, but every distinct (n_pad, m_pad) is its
+        # own Mosaic compile AND its own 128-pair-quantum dispatch: at
+        # 16-granularity a 64-pair ragged workload (100-400nt) shatters
+        # into ~60 single-pair buckets — hours of AOT compiles for
+        # milliseconds of fill.  At 128 it collapses to <= a dozen
+        # well-tested shapes; padding cells ride the already-padded
+        # pair tile and are masked by ns/ms as usual.
         groups: dict[tuple[int, int], list[int]] = {}
         for i, (t, p) in enumerate(zip(texts, patterns)):
             if len(t) == 0 or len(p) == 0:
                 continue
-            n_pad = max(16, -(-len(t) // 16) * 16)
-            m_pad = max(16, -(-len(p) // 16) * 16)
+            n_pad = max(128, -(-len(t) // 128) * 128)
+            m_pad = max(128, -(-len(p) // 128) * 128)
             groups.setdefault((n_pad, m_pad), []).append(i)
 
         k_alpha = self.score_matrix.shape[0]
@@ -459,6 +478,11 @@ class BatchAligner:
             p_arr[row, : p.shape[0]] = p
             ns[row], ms[row] = t.shape[0], p.shape[0]
         max_len = -(-(n_pad + m_pad) // 16) * 16
+        # Uniform bucket: the fill drops its per-cell masking (host
+        # lengths checked — see batch_score_pallas's contract).
+        uniform = bool(
+            (ns[:b] == n_pad).all() and (ms[:b] == m_pad).all()
+        )
 
         def shard(t_s, p_s, ns_s, ms_s, sm):
             # Fill + lockstep walk of this device's pair shard.
@@ -468,7 +492,7 @@ class BatchAligner:
                     k_alpha=k_alpha, local=self.local,
                     semi=self.semi, tile_pairs=tile_pairs,
                     gap_extend=self.gap_extend, cell16=cell16,
-                    interpret=interpret,
+                    uniform=uniform, interpret=interpret,
                 )
             )
             if self.local:
@@ -547,7 +571,7 @@ class BatchAligner:
         # Cache the jitted pipeline per trace-affecting config (the
         # instance pins mesh/mode/gaps; jit handles shape retraces).
         fw_key = (
-            n_pad, m_pad, tile_pairs, cell16, k_alpha, max_len,
+            n_pad, m_pad, tile_pairs, cell16, k_alpha, max_len, uniform,
             interpret, config.batch_walker_max_pairs(), WALK_INDEX_CAP,
         )
         fill_walk = self._fill_walk_fns.get(fw_key)

@@ -138,6 +138,42 @@ def test_batch_align_sw_no_match():
         )
 
 
+def test_batch_align_bucket_quantization():
+    # Ragged 100-400nt pairs must collapse into a handful of 128-quantized
+    # shape buckets (each distinct shape is its own Mosaic compile and its
+    # own 128-pair-padded dispatch on hardware) — the round-4 on-chip
+    # parity probe shattered 64 pairs into 60 single-pair buckets at the
+    # old 16-granularity.  Parity with the oracle must survive the extra
+    # shape padding.
+    rng = np.random.default_rng(31)
+    sm = _dna_sm()
+    texts = [
+        rng.integers(0, 4, int(rng.integers(100, 400))).astype(np.int32)
+        for _ in range(24)
+    ]
+    patterns = [
+        rng.integers(0, 4, int(rng.integers(80, 380))).astype(np.int32)
+        for _ in range(24)
+    ]
+    shapes = {
+        (max(128, -(-len(t) // 128) * 128), max(128, -(-len(p) // 128) * 128))
+        for t, p in zip(texts, patterns)
+    }
+    assert len(shapes) <= 12
+    assert all(n % 128 == 0 and m % 128 == 0 for n, m in shapes)
+    results = BatchAligner(sm, 4, 5).align(texts, patterns)
+    for t, p, r in zip(texts, patterns, results):
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            0, t.astype(np.int8), p.astype(np.int8), sm, 4, 5
+        )
+        assert r.score == oscore
+        np.testing.assert_array_equal(r.aligned_text, oat)
+        np.testing.assert_array_equal(r.aligned_pattern, oap)
+        assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
+            ost, osp,
+        )
+
+
 def test_batch_align_multigroup_walk(monkeypatch):
     # Force the int32-index chunking: several tiles per shard, walked in
     # separate groups, must reassemble into identical results.  This
