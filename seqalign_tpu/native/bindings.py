@@ -90,6 +90,11 @@ def _library() -> ctypes.CDLL:
             u8p, i64, i64, i64, i32, i8p, i8p, i32,
             u8p, u8p, pi64, pi64, pi64,
         ]
+        lib.sa_emit_moves_batch.restype = None
+        lib.sa_emit_moves_batch.argtypes = [
+            i32p, i64, i32p, i32p, i32p, i32, i8p, i64, i8p, i64,
+            i32, i64, i64, u8p, u8p, i32p, i32p,
+        ]
         _lib = lib
     return _lib
 
@@ -425,6 +430,48 @@ def emit_moves(
     )
     k = out_len.value
     return out_text[:k].copy(), out_pattern[:k].copy(), out_st.value, out_sp.value
+
+
+def emit_moves_batch(
+    packed: np.ndarray,
+    lens: np.ndarray,
+    start_is: np.ndarray,
+    start_js: np.ndarray,
+    mode: int,
+    texts: np.ndarray,
+    patterns: np.ndarray,
+    alphabet_size: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Replay a whole bucket's packed move lists in one native call.
+
+    packed: (B, words_per_pair) pair-major int32 move words (the device
+    walkers' 2-bit layout); texts/patterns: padded (B, n)/(B, m) int8
+    letter matrices; mode: 0 global, 1 local, 2 affine (see oracle.cpp
+    sa_emit_moves_batch).  Returns (aligned_text, aligned_pattern,
+    start_text, start_pattern) where the aligned arrays are
+    (B, 16*words_per_pair) uint8 rows — row r's alignment is the first
+    lens[r] entries.
+    """
+    lib = _library()
+    packed = np.ascontiguousarray(packed, dtype=np.int32)
+    b, words = packed.shape
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    start_is = np.ascontiguousarray(start_is, dtype=np.int32)
+    start_js = np.ascontiguousarray(start_js, dtype=np.int32)
+    texts = np.ascontiguousarray(texts, dtype=np.int8)
+    patterns = np.ascontiguousarray(patterns, dtype=np.int8)
+    out_stride = 16 * words
+    out_text = np.empty((b, out_stride), dtype=np.uint8)
+    out_pattern = np.empty((b, out_stride), dtype=np.uint8)
+    out_st = np.empty(b, dtype=np.int32)
+    out_sp = np.empty(b, dtype=np.int32)
+    lib.sa_emit_moves_batch(
+        packed, words, lens, start_is, start_js, mode,
+        texts, texts.shape[1], patterns, patterns.shape[1],
+        alphabet_size, b, out_stride, out_text, out_pattern,
+        out_st, out_sp,
+    )
+    return out_text, out_pattern, out_st, out_sp
 
 
 def traceback_packed(

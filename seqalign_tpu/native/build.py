@@ -24,6 +24,13 @@ def ensure_built() -> str:
             not os.path.exists(LIBRARY)
             or os.path.getmtime(LIBRARY) < os.path.getmtime(SOURCE)
         ):
+            # Link to a temp path and rename: `g++ -o LIBRARY` truncates
+            # the existing inode in place, which segfaults any process
+            # that already has the old library mmap'd.  os.replace keeps
+            # the old inode alive for them and atomically publishes the
+            # new build (observed: a concurrent pytest run died with
+            # SIGSEGV mid-suite when the .so was rebuilt under it).
+            tmp = LIBRARY + f".tmp.{os.getpid()}"
             cmd = [
                 "g++",
                 "-O3",
@@ -32,10 +39,17 @@ def ensure_built() -> str:
                 "-shared",
                 "-fPIC",
                 "-o",
-                LIBRARY,
+                tmp,
                 SOURCE,
             ]
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            try:
+                subprocess.run(
+                    cmd, check=True, capture_output=True, text=True
+                )
+                os.replace(tmp, LIBRARY)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
     return LIBRARY
 
 

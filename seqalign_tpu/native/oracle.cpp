@@ -829,4 +829,80 @@ void sa_emit_moves(const uint8_t* moves, int64_t len, int64_t start_i,
   std::reverse(out_pattern, out_pattern + len);
 }
 
+// Batched replay of per-pair 2-bit packed move lists (the device
+// walkers' output layout: move p of a pair sits at bits 2*(p%16) of its
+// word p/16) into aligned index arrays — one call per bucket instead of
+// one ctypes round trip per pair, which dominated the end-to-end batch
+// wall (~106 us/pair of Python/ctypes vs ~1 us/pair here).
+//
+// mode 0: global (NW) replay — clamped emit cursors, full move list
+//   (matches sa_emit_moves local=0; forced first-row/column moves are
+//   already in the list, reference alignSequenceCPU.cpp:77-81).
+// mode 1: local (SW) replay — early exit when a move lands the walk
+//   cursor on the first row/column, with the final hop's emit cursors
+//   left un-decremented (matches sa_emit_moves local=1 and the
+//   reference's traceBackSW cursor quirk, alignSequenceCPU.cpp:44-46).
+// mode 2: affine replay — straight cursor walk with no clamp quirks,
+//   start offsets = final cursors floored at 0 (the affine oracle's
+//   emission semantics, sa_align_affine).
+//
+// packed is pair-major (b x words_per_pair) int32; texts/patterns are
+// padded row-major int8 letter matrices with the given strides; the
+// aligned outputs land reversed-in-place (start-to-end order) in
+// (b x out_stride) uint8 rows, lengths in lens (unchanged), start
+// offsets in out_start_text / out_start_pattern.
+void sa_emit_moves_batch(const int32_t* packed, int64_t words_per_pair,
+                         const int32_t* lens, const int32_t* start_is,
+                         const int32_t* start_js, int32_t mode,
+                         const int8_t* texts, int64_t text_stride,
+                         const int8_t* patterns, int64_t pattern_stride,
+                         int32_t k, int64_t b, int64_t out_stride,
+                         uint8_t* out_text, uint8_t* out_pattern,
+                         int32_t* out_start_text,
+                         int32_t* out_start_pattern) {
+  for (int64_t row = 0; row < b; ++row) {
+    const int32_t* words = packed + row * words_per_pair;
+    const int8_t* text = texts + row * text_stride;
+    const int8_t* pattern = patterns + row * pattern_stride;
+    uint8_t* ot = out_text + row * out_stride;
+    uint8_t* op = out_pattern + row * out_stride;
+    const int64_t len = lens[row];
+    int64_t i = start_is[row];
+    int64_t j = start_js[row];
+    if (mode == 2) {
+      for (int64_t p = 0; p < len; ++p) {
+        const uint8_t dir = (words[p >> 4] >> (2 * (p & 15))) & 3;
+        const bool take_t = dir != kTop;
+        const bool take_p = dir != kLeft;
+        ot[p] = take_t ? static_cast<uint8_t>(text[j > 0 ? j - 1 : 0])
+                       : static_cast<uint8_t>(k);
+        op[p] = take_p ? static_cast<uint8_t>(pattern[i > 0 ? i - 1 : 0])
+                       : static_cast<uint8_t>(k);
+        j -= take_t;
+        i -= take_p;
+      }
+      out_start_text[row] = static_cast<int32_t>(j > 0 ? j : 0);
+      out_start_pattern[row] = static_cast<int32_t>(i > 0 ? i : 0);
+    } else {
+      int64_t ti = j - 1;
+      int64_t pi = i - 1;
+      for (int64_t p = 0; p < len; ++p) {
+        const uint8_t dir = (words[p >> 4] >> (2 * (p & 15))) & 3;
+        emit(text, pattern, k, dir, ti, pi, ot, op, p);
+        if (mode == 1) {
+          if (dir == kDiag || dir == kLeft) --j;
+          if (dir == kDiag || dir == kTop) --i;
+          if (j == 0 || i == 0) break;  // final hop: cursors stay
+        }
+        if (dir == kDiag || dir == kLeft) ti = ti > 0 ? ti - 1 : 0;
+        if (dir == kDiag || dir == kTop) pi = pi > 0 ? pi - 1 : 0;
+      }
+      out_start_text[row] = static_cast<int32_t>(ti);
+      out_start_pattern[row] = static_cast<int32_t>(pi);
+    }
+    std::reverse(ot, ot + len);
+    std::reverse(op, op + len);
+  }
+}
+
 }  // extern "C"

@@ -30,15 +30,51 @@ from . import mesh as mesh_lib
 _SCORE_FNS: dict = {}
 
 
+def pack_letters_host(arr: np.ndarray) -> np.ndarray:
+    """Pack 2-bit letters four-per-byte for the host->device upload
+    (k_alpha <= 4 alphabets only — letters must be 0..3).  The upload is
+    the largest single transfer of the batch path and the tunnel runs at
+    ~15 MB/s, so 2 bits/letter instead of 8 is a direct wall-clock cut
+    (measured in bench/results/r5_batch_e2e_profile.out).  Columns pad
+    to a multiple of 4 with letter 0; :func:`unpack_letters_device`
+    slices them back off."""
+    b, n = arr.shape
+    a = arr.astype(np.uint8)
+    pad = (-n) % 4
+    if pad:
+        a = np.concatenate([a, np.zeros((b, pad), np.uint8)], axis=1)
+    return (
+        a[:, 0::4]
+        | (a[:, 1::4] << 2)
+        | (a[:, 2::4] << 4)
+        | (a[:, 3::4] << 6)
+    )
+
+
+def unpack_letters_device(x, n_cols: int):
+    """Inverse of :func:`pack_letters_host`, on device, int32 letters
+    out.  One XLA unpack into an HBM temp per dispatch — noise next to
+    the fill, and the Pallas kernels see the exact same int32 letter
+    arrays as before (their AOT cache keys don't change)."""
+    x = x.astype(jnp.int32)
+    parts = [(x >> s) & 3 for s in (0, 2, 4, 6)]
+    out = jnp.stack(parts, axis=2).reshape(x.shape[0], -1)
+    return out[:, :n_cols]
+
+
 def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
                         gap, local: bool = False, semi: bool = False,
-                        gap_extend=None, uniform: bool = False):
+                        gap_extend=None, uniform: bool = False,
+                        packed_cols=None):
     """Scores for a batch sharded along the mesh ``data`` axis.
 
     The batch dimension must be divisible by the mesh size (use
     :func:`pad_batch` first).  uniform: every real pair's lengths equal
     the padded shapes exactly (callers must check against HOST lengths
     — see batch_score_pallas); drops the kernel's per-cell masking.
+    packed_cols: (n_cols, m_cols) when texts/patterns arrive 2-bit
+    packed via :func:`pack_letters_host` (DNA transfer cut); None for
+    plain int8/int32 letter arrays.
     """
     spec = P(mesh_lib.DATA_AXIS)
     rep = P()
@@ -47,12 +83,14 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
     # int16 cell mode: two DP cells per 32-bit VPU lane when every value
     # of the padded bucket provably fits (needs concrete matrix/gap —
     # traced callers stay on int32).
+    n_cols = packed_cols[0] if packed_cols else texts.shape[1]
+    m_cols = packed_cols[1] if packed_cols else patterns.shape[1]
     cell16 = False
     mode = config.int16_cells()
     if use_pallas and mode != "0":
         try:
             cell16 = pallas_fill.int16_cells_ok(
-                texts.shape[1], patterns.shape[1], score_matrix,
+                n_cols, m_cols, score_matrix,
                 score_matrix.shape[0], gap, gap_extend,
             )
         except Exception:
@@ -67,6 +105,15 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
         # The inter-pair kernel needs 128-multiple shards (use pad_batch
         # / BatchAligner for that); smaller shards fall back to the
         # vmapped XLA engine instead of failing.
+        # Letters may arrive 2-bit packed (DNA) or as int8 (BatchAligner
+        # ships them narrow to cut the host->device transfer); the
+        # engines compute in int32.
+        if packed_cols is not None:
+            t = unpack_letters_device(t, n_cols)
+            p = unpack_letters_device(p, m_cols)
+        else:
+            t = t.astype(jnp.int32)
+            p = p.astype(jnp.int32)
         if use_pallas and t.shape[0] % 128 == 0:
             return pallas_fill.batch_score_pallas(
                 t, p, n, m, sm, gap,
@@ -85,7 +132,7 @@ def sharded_batch_score(mesh: Mesh, texts, patterns, ns, ms, score_matrix,
         tuple(int(d.id) for d in mesh.devices.flat), use_pallas, cell16,
         local, semi, int(gap),
         int(gap_extend) if gap_extend is not None else None,
-        uniform, config.pallas_interpret(),
+        uniform, packed_cols, config.pallas_interpret(),
     )
     fn = _SCORE_FNS.get(key)
     if fn is None:
@@ -268,8 +315,8 @@ class BatchAligner:
         for bucket in self._buckets(texts, patterns):
             b = len(bucket.indices)
             b_pad = max(quantum, ((b + quantum - 1) // quantum) * quantum)
-            t_arr = np.zeros((b_pad, bucket.n_pad), dtype=np.int32)
-            p_arr = np.zeros((b_pad, bucket.m_pad), dtype=np.int32)
+            t_arr = np.zeros((b_pad, bucket.n_pad), dtype=np.int8)
+            p_arr = np.zeros((b_pad, bucket.m_pad), dtype=np.int8)
             ns = np.zeros(b_pad, dtype=np.int32)
             ms = np.zeros(b_pad, dtype=np.int32)
             for row, i in enumerate(bucket.indices):
@@ -284,6 +331,13 @@ class BatchAligner:
                 (ns[:b] == bucket.n_pad).all()
                 and (ms[:b] == bucket.m_pad).all()
             )
+            # DNA (k<=4): letters provably 0..3, so ship them 2-bit
+            # packed — the upload is the batch path's largest transfer.
+            packed_cols = None
+            if self.score_matrix.shape[0] <= 4:
+                packed_cols = (bucket.n_pad, bucket.m_pad)
+                t_arr = pack_letters_host(t_arr)
+                p_arr = pack_letters_host(p_arr)
             scores = sharded_batch_score(
                 self.mesh,
                 jnp.asarray(t_arr),
@@ -296,6 +350,7 @@ class BatchAligner:
                 semi=self.semi,
                 gap_extend=self.gap_extend,
                 uniform=uniform,
+                packed_cols=packed_cols,
             )
             if jax.process_count() > 1:
                 # Multi-process mesh: this process can only device_get
@@ -448,9 +503,7 @@ class BatchAligner:
             batch_device_traceback,
             batch_pallas_traceback,
             fits_batch_walker,
-            unpack_batch_moves,
         )
-        from ..ops.traceback import emit_moves_affine
 
         mesh = self.mesh
         d_count = mesh.size
@@ -468,8 +521,12 @@ class BatchAligner:
             )
         b = len(idx)
         b_pad = max(quantum, -(-b // quantum) * quantum)
-        t_arr = np.zeros((b_pad, n_pad), dtype=np.int32)
-        p_arr = np.zeros((b_pad, m_pad), dtype=np.int32)
+        # Letters ride to the device as int8 (alphabets are <= 23
+        # symbols) and widen on device — a 4x cut of the dominant
+        # host->device transfer; the emitters below consume the same
+        # int8 matrices directly.
+        t_arr = np.zeros((b_pad, n_pad), dtype=np.int8)
+        p_arr = np.zeros((b_pad, m_pad), dtype=np.int8)
         ns = np.zeros(b_pad, dtype=np.int32)
         ms = np.zeros(b_pad, dtype=np.int32)
         for row, i in enumerate(idx):
@@ -484,8 +541,23 @@ class BatchAligner:
             (ns[:b] == n_pad).all() and (ms[:b] == m_pad).all()
         )
 
+        # DNA (k<=4): ship the letters 2-bit packed (the emitters below
+        # still consume the int8 matrices on host, so pack a copy).
+        lpacked = k_alpha <= 4
+        if lpacked:
+            t_up = pack_letters_host(t_arr)
+            p_up = pack_letters_host(p_arr)
+        else:
+            t_up, p_up = t_arr, p_arr
+
         def shard(t_s, p_s, ns_s, ms_s, sm):
             # Fill + lockstep walk of this device's pair shard.
+            if lpacked:
+                t_s = unpack_letters_device(t_s, n_pad)
+                p_s = unpack_letters_device(p_s, m_pad)
+            else:
+                t_s = t_s.astype(jnp.int32)
+                p_s = p_s.astype(jnp.int32)
             scores, bis, bjs, dirs, dirs2 = (
                 pallas_fill.batch_fill_dirs_pallas(
                     t_s, p_s, ns_s, ms_s, sm, self.gap_penalty,
@@ -572,7 +644,8 @@ class BatchAligner:
         # instance pins mesh/mode/gaps; jit handles shape retraces).
         fw_key = (
             n_pad, m_pad, tile_pairs, cell16, k_alpha, max_len, uniform,
-            interpret, config.batch_walker_max_pairs(), WALK_INDEX_CAP,
+            lpacked, interpret, config.batch_walker_max_pairs(),
+            WALK_INDEX_CAP,
         )
         fill_walk = self._fill_walk_fns.get(fw_key)
         if fill_walk is None:
@@ -586,7 +659,7 @@ class BatchAligner:
             ))
             self._fill_walk_fns[fw_key] = fill_walk
         scores, bis, bjs, packed, lens, j_fin, i_fin = fill_walk(
-            jnp.asarray(t_arr), jnp.asarray(p_arr),
+            jnp.asarray(t_up), jnp.asarray(p_up),
             jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
         )
         if jax.process_count() > 1:
@@ -609,33 +682,31 @@ class BatchAligner:
                 (scores, packed, lens, j_fin, i_fin, bis, bjs)
             )
         packed = np.asarray(packed)
-        # Replay each pair's move list through the same emitters the
-        # checkpointed engine uses (native for linear, the
-        # quirk-free numpy replay for affine).
+        # Replay the whole bucket's move lists through one native call
+        # (same walk semantics as the per-pair emitters — mode 0/1
+        # mirrors sa_emit_moves, mode 2 the affine numpy replay; the
+        # per-pair ctypes loop cost ~106 us/pair and dominated the
+        # end-to-end batch wall, see scripts/profile_batch_e2e.py).
+        if self.local or self.semi:
+            start_is, start_js = bis_np, bjs_np
+        else:
+            start_is, start_js = ms, ns
+        mode = 2 if affine else (1 if self.local else 0)
+        at_all, ap_all, st_all, sp_all = bindings.emit_moves_batch(
+            packed.T, lens, start_is, start_js, mode,
+            t_arr, p_arr, k_alpha,
+        )
         for row, i in enumerate(idx):
             if owned is not None and not owned[row]:
                 continue
             ln = int(lens[row])
-            mv = unpack_batch_moves(packed, ln, row)
-            if self.local or self.semi:
-                start_i, start_j = int(bis_np[row]), int(bjs_np[row])
-            else:
-                start_i, start_j = int(ms[row]), int(ns[row])
-            if affine:
-                at, ap, st, sp = emit_moves_affine(
-                    mv, start_i, start_j,
-                    texts[i], patterns[i], k_alpha,
-                )
-            else:
-                at, ap, st, sp = bindings.emit_moves(
-                    mv, start_i, start_j, self.local,
-                    texts[i], patterns[i], k_alpha,
-                )
             if self.semi:
                 st, sp = int(j_fin[row]), 0
+            else:
+                st, sp = int(st_all[row]), int(sp_all[row])
             results[i] = AlignmentResult(
-                aligned_text=at,
-                aligned_pattern=ap,
+                aligned_text=at_all[row, :ln].copy(),
+                aligned_pattern=ap_all[row, :ln].copy(),
                 start_in_aligned_text=st,
                 start_in_aligned_pattern=sp,
                 score=int(scores[row]),

@@ -241,3 +241,69 @@ def test_batch_align_xla_fallback(monkeypatch):
         )
         assert r.score == oscore
         np.testing.assert_array_equal(r.aligned_text, oat)
+
+
+def test_emit_moves_batch_matches_per_pair_emitters():
+    # The one-call native bucket emitter must replay move lists exactly
+    # like the per-pair paths it replaced: sa_emit_moves (mode 0 global
+    # / 1 local, incl. the SW early-exit cursor quirk) and the affine
+    # numpy replay (mode 2).  Random move lists stress every branch.
+    from seqalign_tpu.ops.traceback import emit_moves_affine
+
+    rng = np.random.default_rng(11)
+    b = 33
+    n_pad, m_pad = 64, 48
+    max_len = 128  # multiple of 16
+    words = max_len // 16
+    texts = rng.integers(0, 4, (b, n_pad)).astype(np.int8)
+    patterns = rng.integers(0, 4, (b, m_pad)).astype(np.int8)
+    for mode in (0, 1, 2):
+        # Accumulate in uint32 (a TOP move in the top slot sets bit 31)
+        # and reinterpret to the walkers' int32 word dtype at the end.
+        packed = np.zeros((b, words), dtype=np.uint32)
+        lens = np.zeros(b, dtype=np.int32)
+        start_is = np.zeros(b, dtype=np.int32)
+        start_js = np.zeros(b, dtype=np.int32)
+        mvs = []
+        for r in range(b):
+            ln = int(rng.integers(0, max_len))
+            si = int(rng.integers(1, m_pad + 1))
+            sj = int(rng.integers(1, n_pad + 1))
+            mv = rng.integers(0, 3, ln).astype(np.uint8)  # LEFT/DIAG/TOP
+            if mode == 1 and ln:
+                # Keep the walk inside the matrix like a real SW list:
+                # truncate at the first move that exhausts a cursor.
+                i, j = si, sj
+                for p2 in range(ln):
+                    d = mv[p2]
+                    if d in (1, 0):
+                        j -= 1
+                    if d in (1, 2):
+                        i -= 1
+                    if i == 0 or j == 0:
+                        mv = mv[: p2 + 1]
+                        break
+                ln = len(mv)
+            lens[r], start_is[r], start_js[r] = ln, si, sj
+            for p2, d in enumerate(mv):
+                packed[r, p2 // 16] |= np.uint32(int(d) << (2 * (p2 % 16)))
+            mvs.append(mv)
+        at_all, ap_all, st_all, sp_all = bindings.emit_moves_batch(
+            packed.view(np.int32), lens, start_is, start_js, mode,
+            texts, patterns, 4,
+        )
+        for r in range(b):
+            if mode == 2:
+                eat, eap, est, esp = emit_moves_affine(
+                    mvs[r], int(start_is[r]), int(start_js[r]),
+                    texts[r], patterns[r], 4,
+                )
+            else:
+                eat, eap, est, esp = bindings.emit_moves(
+                    mvs[r], int(start_is[r]), int(start_js[r]),
+                    mode == 1, texts[r], patterns[r], 4,
+                )
+            ln = lens[r]
+            np.testing.assert_array_equal(at_all[r, :ln], eat)
+            np.testing.assert_array_equal(ap_all[r, :ln], eap)
+            assert (st_all[r], sp_all[r]) == (est, esp)
