@@ -57,3 +57,38 @@ def test_batch_dna_alignment():
 
 def test_batch_protein_alignment():
     _sweep("data/protein", "--protein", 5, PROTEIN_CAP)
+
+
+def test_checkpoint_route_real_pair_default_ci(monkeypatch):
+    """One >8000-byte real repo DNA pair through the Pallas engines'
+    checkpoint route in every default pytest run (not just under
+    SEQALIGN_SWEEP_FULL): budget shrunk + direct disabled so the
+    wavefront router falls through to the checkpointed engine
+    (ops/checkpoint.py), byte-compared against the CPU oracle — the
+    reference's 20000-cap sweep tier at CI-affordable size
+    (tests.cu:486-487)."""
+    from seqalign_tpu import config
+    from seqalign_tpu.models import base as base_mod
+    from seqalign_tpu.ops import direct
+
+    monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
+    monkeypatch.setattr(config, "MAX_HOST_DIRS_BYTES", 65536)
+    monkeypatch.setattr(direct, "fits_direct", lambda *a, **k: False)
+    called = {}
+    orig = base_mod.PairAligner._align_checkpoint
+
+    def spy(self, *a, **k):
+        called["checkpoint"] = True
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(base_mod.PairAligner, "_align_checkpoint", spy)
+
+    request = request_from_argv(
+        "--dna", "--gap-penalty", "11", "--global",
+        "data/dna/GCA_003433695.txt", "data/dna/GCA_003231495.txt",
+    )
+    cpu = run(request, Device.CPU)
+    tpu = run(request, Device.TPU)
+    assert called.get("checkpoint"), "pair did not route to checkpoint"
+    assert cpu.score == tpu.score
+    assert response_tuple(cpu) == response_tuple(tpu)
