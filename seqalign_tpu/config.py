@@ -169,8 +169,24 @@ def batch_walker_max_pairs() -> int:
     ~26 us per lockstep STEP regardless of batch size, so small batches
     of big pairs favor the walker and big batches the lockstep walk
     (crossover ~128-256 pairs).  SEQALIGN_BATCH_WALKER_MAX_PAIRS=0
-    disables the walker."""
-    return int(os.environ.get("SEQALIGN_BATCH_WALKER_MAX_PAIRS", "256"))
+    disables the walker.
+
+    Default on a REAL TPU backend: 0 (lockstep only).  Fused into the
+    same compiled program as the batch fill, the walker kernel kills
+    the TPU worker for some ragged length mixes — deterministic, data-
+    dependent, and fused-only: the identical shapes/data pass when the
+    stages run as separate dispatches (scripts/bisect_walker_crash.py)
+    and the full mode matrix is byte-identical via the lockstep walk
+    (bench/results/r5_batch_align_chip_parity.out).  Interpret mode
+    (tests) keeps the 256 default — the semantics are exact there and
+    parity stays pinned; set the env to re-enable on hardware once the
+    Mosaic interaction is fixed."""
+    env = os.environ.get("SEQALIGN_BATCH_WALKER_MAX_PAIRS")
+    if env is not None:
+        return int(env)
+    if engine() == "pallas":  # real Mosaic backend
+        return 0
+    return 256
 
 
 # Direction-matrix HBM budget for the single-call fill path; longer pairs
