@@ -12,6 +12,19 @@ def _dna_sm():
     return np.where(np.eye(4, dtype=bool), 5, -4).astype(np.int32)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_caches():
+    # Compiling this file's interpret-mode strip programs after the full
+    # suite's ~200 tests of accumulated executables segfaults inside
+    # XLA:CPU backend_compile (deterministic at multistrip[True]; the
+    # file alone passes, and every <=150-test subset passes).  Dropping
+    # the in-process jit caches before the file dodges the poisoned
+    # compiler state; see bench/results/r5_suite_segfault_notes.md.
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
     monkeypatch.setenv("SEQALIGN_ENGINE", "pallas_interpret")
