@@ -315,6 +315,15 @@ def _batch_walker_kernel(groups: int, w_rows: int,
                 alive = jnp.logical_and(
                     emit, jnp.logical_or(i > 0, j > 0)
                 )
+            # Hard cap at the move buffer's capacity.  A legitimate walk
+            # has at most i0+j0 <= max_len moves, so the cap never fires
+            # on correct data — but a misread STOP word in a non-local
+            # walk neither stops nor moves the cursors, and an unbounded
+            # loop would then write mv_ref past its SMEM block (a TPU
+            # worker kill, not a Python error).  Bound it: a poisoned
+            # pair truncates (caught by parity checks) instead of
+            # killing the chip.
+            alive = jnp.logical_and(alive, k < mv_ref.shape[-1] * 16)
             return (i, j, st, k, mvw, alive)
 
         return jax.lax.while_loop(
