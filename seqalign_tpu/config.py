@@ -189,6 +189,20 @@ def batch_walker_max_pairs() -> int:
     return 256
 
 
+def batch_pipeline_pairs() -> int:
+    """Target pairs per fill+walk dispatch of ``BatchAligner.align``.
+    Splitting a bucket into chunks of this size and collecting results
+    one dispatch behind lets the host's uploads, downloads and native
+    emit overlap the device fill of later chunks (a software pipeline;
+    only the small packed move lists queue on device, so depth is
+    unbounded).  0 = one dispatch per HBM budget (no voluntary
+    chunking).  SEQALIGN_BATCH_PIPELINE_PAIRS overrides.  Measured on
+    the 64k-pair 256^2 north-star workload (one v5e, warm, best of 2):
+    no chunking 44.9k pairs/s, 8192 58.1k, 16384 66.4k (default),
+    32768 62.0k — bench/results/r5_pipeline_ab.out."""
+    return int(os.environ.get("SEQALIGN_BATCH_PIPELINE_PAIRS", "16384"))
+
+
 # Direction-matrix HBM budget for the single-call fill path; longer pairs
 # go through the tiled streaming engine (ops/tiled.py).
 MAX_DIRS_BYTES = int(

@@ -469,6 +469,7 @@ class BatchAligner:
         d_count = mesh.size
         spec = P(mesh_lib.DATA_AXIS)
         rep = P()
+        pending: list = []
         for (n_pad, m_pad), full_idx in sorted(groups.items()):
             tile_pairs = self._dirs_tile_pairs(
                 n_pad, m_pad, len(full_idx), d_count
@@ -482,23 +483,32 @@ class BatchAligner:
                 DIRS_HBM_BUDGET // words_bytes // tile_pairs * tile_pairs,
             )
             chunk = per_dev * d_count
+            # Voluntary pipeline chunking: every chunk dispatches up
+            # front (jax queues them; only small packed move lists
+            # accumulate on device) and collection streams afterwards,
+            # so the device fills later chunks while the host downloads
+            # and native-emits earlier ones.
+            pipe = config.batch_pipeline_pairs()
+            if pipe:
+                chunk = min(chunk, max(quantum, -(-pipe // quantum) * quantum))
             idx_chunks = [
                 full_idx[c0 : c0 + chunk]
                 for c0 in range(0, len(full_idx), chunk)
             ]
             for idx in idx_chunks:
-                self._align_bucket(
+                pending.append(self._dispatch_bucket(
                     idx, n_pad, m_pad, tile_pairs, quantum, texts,
-                    patterns, results, affine, interpret, k_alpha,
-                )
+                    patterns, affine, interpret, k_alpha,
+                ))
+        for p in pending:
+            self._collect_bucket(p, results, affine, k_alpha)
         return results
 
-    def _align_bucket(self, idx, n_pad, m_pad, tile_pairs, quantum,
-                      texts, patterns, results, affine, interpret,
-                      k_alpha):
-        """Fill + walk + emit one HBM-sized sub-batch of a size bucket."""
-        from ..models.base import AlignmentResult
-        from ..native import bindings
+    def _dispatch_bucket(self, idx, n_pad, m_pad, tile_pairs, quantum,
+                         texts, patterns, affine, interpret, k_alpha):
+        """Prep + fill + walk one HBM-sized sub-batch of a size bucket;
+        returns the in-flight device outputs plus the host arrays
+        :meth:`_collect_bucket` needs to emit them."""
         from ..ops.batch_traceback import (
             batch_device_traceback,
             batch_pallas_traceback,
@@ -658,10 +668,20 @@ class BatchAligner:
                 check_vma=False,
             ))
             self._fill_walk_fns[fw_key] = fill_walk
-        scores, bis, bjs, packed, lens, j_fin, i_fin = fill_walk(
+        outs = fill_walk(
             jnp.asarray(t_up), jnp.asarray(p_up),
             jnp.asarray(ns), jnp.asarray(ms), self.score_matrix,
         )
+        return (idx, t_arr, p_arr, ns, ms, outs)
+
+    def _collect_bucket(self, pending, results, affine, k_alpha):
+        """Download + native-emit one dispatched sub-batch (blocks on
+        that dispatch only; later chunks keep filling on device)."""
+        from ..models.base import AlignmentResult
+        from ..native import bindings
+
+        idx, t_arr, p_arr, ns, ms, outs = pending
+        scores, bis, bjs, packed, lens, j_fin, i_fin = outs
         if jax.process_count() > 1:
             # Multi-process mesh: only this process's pair shards are
             # addressable (the move lists are too big to all-gather);
