@@ -34,6 +34,7 @@ def main() -> None:
     ap.add_argument("--pairs", type=int, default=65536)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--warm-reps", type=int, default=4)
     args = ap.parse_args()
 
     import numpy as np
@@ -54,8 +55,12 @@ def main() -> None:
     ]
     aligner = BatchAligner(sm, 4, 5, local=True)
 
+    # The axon tunnel's co-tenancy makes single-rep walls swing ~2x
+    # (CLAUDE.md environment quirks), so the artifact records the best
+    # of several warm reps, with every wall listed for honesty.
     walls = []
-    for label in ("cold", "warm"):
+    labels = ["cold"] + [f"warm{r}" for r in range(args.warm_reps)]
+    for label in labels:
         t0 = time.time()
         results = aligner.align(texts, patterns)
         walls.append(time.time() - t0)
@@ -91,6 +96,7 @@ def main() -> None:
         "gcups_e2e": round(args.pairs * args.size * args.size / warm / 1e9, 2),
         "cold_wall_s": round(walls[0], 2),
         "warm_wall_s": round(warm, 2),
+        "warm_walls_s": [round(w, 2) for w in walls[1:]],
         "note": (
             "BASELINE.json 64k-pair DNA workload end-to-end (fill + "
             "lockstep traceback + host assembly); reference analog loops "

@@ -199,7 +199,9 @@ def batch_pipeline_pairs() -> int:
     chunking).  SEQALIGN_BATCH_PIPELINE_PAIRS overrides.  Measured on
     the 64k-pair 256^2 north-star workload (one v5e, warm, best of 2):
     no chunking 44.9k pairs/s, 8192 58.1k, 16384 66.4k (default),
-    32768 62.0k — bench/results/r5_pipeline_ab.out."""
+    32768 62.0k (r5_pipeline_ab.out); with the threaded collect +
+    async D2H prefetch the same sweep (best of 4) holds the ordering:
+    16384 105.8k, 8192 96.0k, 32768 93.9k (r5_thread_ab.out)."""
     return int(os.environ.get("SEQALIGN_BATCH_PIPELINE_PAIRS", "16384"))
 
 

@@ -10,6 +10,7 @@ back along the same sharding.
 from __future__ import annotations
 
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import jax
@@ -185,6 +186,19 @@ def _host_shards(arr, axis: int, size: int):
     if out is None:  # no addressable shards (shouldn't happen)
         out = np.zeros([size], arr.dtype)
     return out, owned
+
+
+def _prefetch_host(outs) -> None:
+    """Best-effort async device->host copy for a dispatched bucket's
+    outputs, so the transfer starts the moment the fill+walk finishes
+    instead of when collection reaches the chunk.  Purely an overlap
+    hint: backends/arrays that can't (no method, non-addressable
+    shards) just download synchronously at collect time."""
+    for arr in outs:
+        try:
+            arr.copy_to_host_async()
+        except Exception:
+            return
 
 
 class BatchAligner:
@@ -500,8 +514,23 @@ class BatchAligner:
                     idx, n_pad, m_pad, tile_pairs, quantum, texts,
                     patterns, affine, interpret, k_alpha,
                 ))
+        # Start every chunk's D2H transfer as soon as its fill+walk
+        # finishes (the tunnel download is the largest host phase) so
+        # transfers run behind the native emit of earlier chunks.
         for p in pending:
-            self._collect_bucket(p, results, affine, k_alpha)
+            _prefetch_host(p[5])
+        # Downloads stay on this thread (jax calls); the pure-numpy/
+        # ctypes emit runs one chunk behind on a worker thread — the
+        # native walk releases the GIL and the download is network
+        # I/O, so the two genuinely overlap even on one core.
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            jobs = [
+                ex.submit(self._emit_bucket, self._download_bucket(p),
+                          results, affine, k_alpha)
+                for p in pending
+            ]
+            for j in jobs:
+                j.result()
         return results
 
     def _dispatch_bucket(self, idx, n_pad, m_pad, tile_pairs, quantum,
@@ -677,9 +706,14 @@ class BatchAligner:
     def _collect_bucket(self, pending, results, affine, k_alpha):
         """Download + native-emit one dispatched sub-batch (blocks on
         that dispatch only; later chunks keep filling on device)."""
-        from ..models.base import AlignmentResult
-        from ..native import bindings
+        self._emit_bucket(
+            self._download_bucket(pending), results, affine, k_alpha
+        )
 
+    def _download_bucket(self, pending):
+        """Main-thread half of collection: device_get this sub-batch's
+        outputs (blocks on that dispatch only; later chunks keep
+        filling on device)."""
         idx, t_arr, p_arr, ns, ms, outs = pending
         scores, bis, bjs, packed, lens, j_fin, i_fin = outs
         if jax.process_count() > 1:
@@ -701,6 +735,18 @@ class BatchAligner:
              bjs_np) = jax.device_get(
                 (scores, packed, lens, j_fin, i_fin, bis, bjs)
             )
+        return (idx, t_arr, p_arr, ns, ms, owned, scores, packed, lens,
+                j_fin, i_fin, bis_np, bjs_np)
+
+    def _emit_bucket(self, host, results, affine, k_alpha):
+        """Worker-thread half of collection: native-emit one downloaded
+        sub-batch (numpy + GIL-releasing ctypes only — no jax calls, so
+        it is safe off the main thread and overlaps later downloads)."""
+        from ..models.base import AlignmentResult
+        from ..native import bindings
+
+        (idx, t_arr, p_arr, ns, ms, owned, scores, packed, lens,
+         j_fin, i_fin, bis_np, bjs_np) = host
         packed = np.asarray(packed)
         # Replay the whole bucket's move lists through one native call
         # (same walk semantics as the per-pair emitters — mode 0/1
@@ -716,19 +762,26 @@ class BatchAligner:
             packed.T, lens, start_is, start_js, mode,
             t_arr, p_arr, k_alpha,
         )
+        # Python-level assembly is ~40% of the warm host wall at 64k
+        # pairs: tolist() the scalar columns once (C loop) instead of
+        # 5 numpy scalar reads per pair, and hand out views of the
+        # emit buffers instead of per-pair copies (the buffers are
+        # bucket-sized and immutable once emitted).
+        lens_l = lens.tolist()
+        scores_l = scores.tolist()
+        if self.semi:
+            st_l, sp_l = j_fin.tolist(), None
+        else:
+            st_l, sp_l = st_all.tolist(), sp_all.tolist()
         for row, i in enumerate(idx):
             if owned is not None and not owned[row]:
                 continue
-            ln = int(lens[row])
-            if self.semi:
-                st, sp = int(j_fin[row]), 0
-            else:
-                st, sp = int(st_all[row]), int(sp_all[row])
+            ln = lens_l[row]
             results[i] = AlignmentResult(
-                aligned_text=at_all[row, :ln].copy(),
-                aligned_pattern=ap_all[row, :ln].copy(),
-                start_in_aligned_text=st,
-                start_in_aligned_pattern=sp,
-                score=int(scores[row]),
+                aligned_text=at_all[row, :ln],
+                aligned_pattern=ap_all[row, :ln],
+                start_in_aligned_text=st_l[row],
+                start_in_aligned_pattern=0 if self.semi else sp_l[row],
+                score=scores_l[row],
             )
         return results
