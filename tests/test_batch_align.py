@@ -198,6 +198,36 @@ def test_batch_align_multigroup_walk(monkeypatch):
         )
 
 
+def test_batch_align_pipeline_chunks(monkeypatch):
+    # Force several pipeline chunks so the threaded collect path (async
+    # D2H prefetch + worker-thread emit one chunk behind) runs in CI:
+    # with the default 16384-pair chunk every CI-sized batch is a single
+    # chunk and the overlap machinery would only ever execute on
+    # hardware.  Results must land in the caller's order regardless of
+    # which thread emitted them.
+    monkeypatch.setattr(
+        BatchAligner, "_dirs_tile_pairs", lambda self, *a: 128
+    )
+    monkeypatch.setenv("SEQALIGN_BATCH_PIPELINE_PAIRS", "1")
+    rng = np.random.default_rng(41)
+    sm = _dna_sm()
+    texts, patterns = _random_pairs(rng, 2080, n_hi=14, m_hi=12)
+    aligner = BatchAligner(sm, 4, 3, local=True)
+    # 128-pair tiles on the 8-device mesh -> 1024-pair chunks -> 3
+    # chunks (1024 + 1024 + 32-padded tail).
+    results = aligner.align(texts, patterns)
+    for t, p, r in zip(texts[::83], patterns[::83], results[::83]):
+        oat, oap, ost, osp, oscore = bindings.oracle_align(
+            1, t.astype(np.int8), p.astype(np.int8), sm, 4, 3
+        )
+        assert r.score == oscore
+        np.testing.assert_array_equal(r.aligned_text, oat)
+        np.testing.assert_array_equal(r.aligned_pattern, oap)
+        assert (r.start_in_aligned_text, r.start_in_aligned_pattern) == (
+            ost, osp,
+        )
+
+
 @pytest.mark.parametrize(
     "mode",
     [{}, {"local": True}, {"semi": True}, {"gap_extend": 2},
